@@ -1,0 +1,311 @@
+"""DPOTNet (2D) — Denoising Operator Transformer, TPU-native.
+
+Capability parity with reference models/dpot.py:245-420 (DPOTNet),
+:137-180 (Block), :183-209 (PatchEmbed), :213-234 (TimeAggregator),
+:27-110 (AFNO2D). Everything here is channels-last (B, X, Y, T, C) at the
+boundary and (B, H, W, C) in the trunk — the native TPU layout — whereas
+the reference permutes to NCHW around every conv/norm.
+
+Forward contract (reference models/dpot.py:364-403):
+  input  (B, X, Y, T_in, C_in)
+  output ((B, X, Y, T_out, C_out), cls_logits (B, n_cls))
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dpot_tpu.ops.activations import get_activation
+from dpot_tpu.ops.initializers import (
+    gamma_geometric,
+    scaled_normal,
+    scaled_uniform,
+    torch_bias,
+    torch_linear_weight,
+    trunc_normal,
+)
+from dpot_tpu.ops.norms import group_norm, instance_stats
+from dpot_tpu.ops.spectral import afno_filter_2d
+
+Dtype = Any
+
+
+class GroupNorm(nn.Module):
+    """torch.nn.GroupNorm-compatible group norm (channels-last)."""
+
+    num_groups: int = 8
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm(x, scale, bias, self.num_groups, self.epsilon)
+
+
+class AFNO2D(nn.Module):
+    """Adaptive FNO spectral mixer. Parameters laid out exactly as the
+    reference (models/dpot.py:45-48) for checkpoint interop."""
+
+    width: int
+    num_blocks: int = 8
+    modes: int = 32
+    hidden_size_factor: int = 1
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        nb = self.num_blocks
+        bs = self.width // nb
+        f = self.hidden_size_factor
+        assert self.width % nb == 0
+        scale = 1.0 / (bs * bs * f)
+        w1 = self.param("w1", scaled_uniform(scale), (2, nb, bs, bs * f))
+        b1 = self.param("b1", scaled_uniform(scale), (2, nb, bs * f))
+        w2 = self.param("w2", scaled_uniform(scale), (2, nb, bs * f, bs))
+        b2 = self.param("b2", scaled_uniform(scale), (2, nb, bs))
+        return afno_filter_2d(
+            x, w1, b1, w2, b2, self.modes, get_activation(self.act),
+            compute_dtype=self.dtype,
+        )
+
+
+class Block(nn.Module):
+    """Transformer block: GroupNorm(8) -> AFNO -> [optional double skip]
+    -> GroupNorm(8) -> pointwise MLP -> residual
+    (reference models/dpot.py:137-180; DPOTNet uses double_skip=False)."""
+
+    width: int
+    num_blocks: int = 8
+    modes: int = 32
+    mlp_ratio: float = 1.0
+    double_skip: bool = False
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        act = get_activation(self.act)
+        hidden = int(self.width * self.mlp_ratio)
+
+        residual = x
+        x = GroupNorm(name="norm1")(x)
+        x = AFNO2D(
+            width=self.width, num_blocks=self.num_blocks, modes=self.modes,
+            act=self.act, dtype=self.dtype, name="filter",
+        )(x)
+        if self.double_skip:
+            x = x + residual
+            residual = x
+        x = GroupNorm(name="norm2")(x)
+        # 1x1 convs on channels-last == Dense over the channel axis
+        x = nn.Dense(
+            hidden, kernel_init=torch_linear_weight(), bias_init=torch_bias(self.width),
+            dtype=self.dtype, name="mlp_fc1",
+        )(x)
+        x = act(x)
+        x = nn.Dense(
+            self.width, kernel_init=torch_linear_weight(), bias_init=torch_bias(hidden),
+            dtype=self.dtype, name="mlp_fc2",
+        )(x)
+        return x + residual
+
+
+class PatchEmbed(nn.Module):
+    """Strided-conv patchifier (reference models/dpot.py:183-209)."""
+
+    patch_size: int
+    embed_dim: int
+    out_dim: int
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (N, H, W, C_in)
+        p = self.patch_size
+        c_in = x.shape[-1]
+        x = nn.Conv(
+            self.embed_dim, kernel_size=(p, p), strides=(p, p), padding="VALID",
+            kernel_init=torch_linear_weight(), bias_init=torch_bias(c_in * p * p),
+            dtype=self.dtype, name="proj1",
+        )(x)
+        x = get_activation(self.act)(x)
+        x = nn.Conv(
+            self.out_dim, kernel_size=(1, 1),
+            kernel_init=torch_linear_weight(), bias_init=torch_bias(self.embed_dim),
+            dtype=self.dtype, name="proj2",
+        )(x)
+        return x
+
+
+class TimeAggregator(nn.Module):
+    """Collapse T input frames into one latent frame
+    (reference models/dpot.py:213-234)."""
+
+    n_timesteps: int
+    out_channels: int
+    time_agg: str = "exp_mlp"  # 'mlp' | 'exp_mlp'
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, T, C)
+        T, C = self.n_timesteps, self.out_channels
+        w = self.param(
+            "w", scaled_normal(1.0 / (T * C**0.5)), (T, C, C)
+        )
+        if self.time_agg == "exp_mlp":
+            gamma = self.param("gamma", gamma_geometric(), (1, C))
+            t = jnp.linspace(0.0, 1.0, x.shape[-2], dtype=jnp.float32)[:, None]
+            t_embed = jnp.cos(t @ gamma)  # (T, C)
+            x = x * t_embed
+        elif self.time_agg != "mlp":
+            raise ValueError(f"unknown time_agg {self.time_agg!r}")
+        return jnp.einsum("tij,bhwti->bhwj", w, x)
+
+
+class DPOTNet(nn.Module):
+    """Full 2D DPOT model (reference models/dpot.py:245-420)."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    in_channels: int = 1
+    out_channels: int = 4
+    in_timesteps: int = 1
+    out_timesteps: int = 1
+    n_blocks: int = 4
+    embed_dim: int = 768
+    out_layer_dim: int = 32
+    depth: int = 12
+    modes: int = 32
+    mlp_ratio: float = 1.0
+    n_cls: int = 12
+    normalize: bool = False
+    act: str = "gelu"
+    time_agg: str = "exp_mlp"
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # (B, X, Y, T, C)
+        B, H, W, T, C = x.shape
+        assert H == self.img_size and W == self.img_size, (
+            f"input {H}x{W} != model img_size {self.img_size}"
+        )
+        act = get_activation(self.act)
+        p = self.patch_size
+        h, w_lat = H // p, W // p
+
+        if self.normalize:
+            # reversible instance norm + AdaIN (reference models/dpot.py:366-371)
+            mu, sigma = instance_stats(x, axes=(1, 2, 3))  # (B,1,1,1,C)
+            x = (x - mu) / sigma
+            stats = jnp.concatenate([mu, sigma], axis=-1)[:, 0, 0, 0, :]  # (B, 2C)
+            scale_mu = nn.Dense(
+                self.embed_dim, kernel_init=torch_linear_weight(),
+                bias_init=torch_bias(2 * self.in_channels), name="scale_feats_mu",
+            )(stats)[:, None, None, :]
+            scale_sigma = nn.Dense(
+                self.embed_dim, kernel_init=torch_linear_weight(),
+                bias_init=torch_bias(2 * self.in_channels), name="scale_feats_sigma",
+            )(stats)[:, None, None, :]
+
+        # coordinate grid channels (x, y, t) — reference get_grid_3d
+        # (models/dpot.py:350-360)
+        gx = jnp.linspace(0, 1, H, dtype=x.dtype)[None, :, None, None, None]
+        gy = jnp.linspace(0, 1, W, dtype=x.dtype)[None, None, :, None, None]
+        gt = jnp.linspace(0, 1, T, dtype=x.dtype)[None, None, None, :, None]
+        grid = jnp.concatenate(
+            [
+                jnp.broadcast_to(gx, (B, H, W, T, 1)),
+                jnp.broadcast_to(gy, (B, H, W, T, 1)),
+                jnp.broadcast_to(gt, (B, H, W, T, 1)),
+            ],
+            axis=-1,
+        )
+        x = jnp.concatenate([x, grid], axis=-1)  # (B, X, Y, T, C+3)
+
+        # per-frame patch embed: fold T into batch (channels-last, no permute)
+        x = jnp.transpose(x, (0, 3, 1, 2, 4)).reshape(B * T, H, W, C + 3)
+        x = PatchEmbed(
+            patch_size=p,
+            embed_dim=self.out_channels * p + 3,
+            out_dim=self.embed_dim,
+            act=self.act,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)  # (B*T, h, w, D)
+
+        pos_embed = self.param(
+            "pos_embed", trunc_normal(0.02), (1, h, w_lat, self.embed_dim)
+        )
+        x = x + pos_embed
+
+        x = x.reshape(B, T, h, w_lat, self.embed_dim).transpose(0, 2, 3, 1, 4)
+        x = TimeAggregator(
+            n_timesteps=self.in_timesteps,
+            out_channels=self.embed_dim,
+            time_agg=self.time_agg,
+            name="time_agg",
+        )(x)  # (B, h, w, D)
+
+        if self.normalize:
+            x = scale_sigma * x + scale_mu  # AdaIN
+
+        block = Block
+        if self.remat:
+            block = nn.remat(Block)
+        for i in range(self.depth):
+            x = block(
+                width=self.embed_dim,
+                num_blocks=self.n_blocks,
+                modes=self.modes,
+                mlp_ratio=self.mlp_ratio,
+                double_skip=False,
+                act=self.act,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+
+        # dataset classifier head (reference models/dpot.py:303-309,394-395)
+        cls_token = jnp.mean(x, axis=(1, 2))
+        ct = cls_token
+        for j, feats in enumerate([self.embed_dim, self.embed_dim, self.n_cls]):
+            ct = nn.Dense(
+                feats, kernel_init=torch_linear_weight(),
+                bias_init=torch_bias(self.embed_dim), name=f"cls_head_{j}",
+            )(ct)
+            if j < 2:
+                ct = act(ct)
+        cls_pred = ct
+
+        # output head (reference models/dpot.py:315-321,397-398)
+        x = nn.ConvTranspose(
+            self.out_layer_dim, kernel_size=(p, p), strides=(p, p), padding="VALID",
+            kernel_init=torch_linear_weight(fan_in=self.embed_dim * p * p),
+            bias_init=torch_bias(self.embed_dim),
+            dtype=self.dtype, name="out_deconv",
+        )(x)
+        x = act(x)
+        x = nn.Conv(
+            self.out_layer_dim, kernel_size=(1, 1),
+            kernel_init=torch_linear_weight(), bias_init=torch_bias(self.out_layer_dim),
+            dtype=self.dtype, name="out_conv1",
+        )(x)
+        x = act(x)
+        x = nn.Conv(
+            self.out_channels * self.out_timesteps, kernel_size=(1, 1),
+            kernel_init=torch_linear_weight(), bias_init=torch_bias(self.out_layer_dim),
+            dtype=self.dtype, name="out_conv2",
+        )(x)  # (B, X, Y, T_out*C_out)
+
+        x = x.reshape(B, H, W, self.out_timesteps, self.out_channels)
+
+        if self.normalize:
+            x = x * sigma + mu
+
+        return x.astype(jnp.float32), cls_pred.astype(jnp.float32)

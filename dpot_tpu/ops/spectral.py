@@ -1,0 +1,198 @@
+"""Spectral ops: the AFNO mixer and Fourier-domain resizing, TPU-first.
+
+Semantics are pinned to the reference implementation:
+- AFNO2D forward: reference models/dpot.py:51-110 (rfft2 ortho over the two
+  spatial axes, a 2-layer complex block-diagonal MLP applied ONLY to the
+  [:modes, :modes] corner of the half-spectrum, zeros elsewhere, irfft2,
+  residual add inside the mixer; softshrink sparsity is disabled there and
+  so is omitted here).
+- AFNO3D forward: reference models/dpot3d.py:46-97 (rfftn over (x,y,z) with a
+  separate `temporal_modes` cap on the last, halved axis).
+- spectral resize: reference utils/utilities.py:277-305.
+
+TPU-first design notes
+----------------------
+The complex 2-layer MLP is lowered to *real* matmuls with the structured
+weight  W = [[Wr, Wi], [-Wi, Wr]]  acting on concat([re, im]) features.
+This turns 8 small complex einsums into 2 batched (2*bs x 2*bs) real matmuls
+per layer — for the standard configs (embed 512-2048, 4-16 blocks) bs is
+64-256, so 2*bs is 128-512: exact MXU tiles. A fused Pallas kernel
+(dpot_tpu/ops/pallas/afno_mlp.py) goes further and keeps the hidden layer in
+VMEM; this module is the XLA-composed reference path and the autodiff path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _complex_as_real_weight(w_re: jax.Array, w_im: jax.Array) -> jax.Array:
+    """Build the real-form weight for complex matmul.
+
+    For z = x @ w with x = xr + i*xi, w = wr + i*wi:
+      [zr zi] = [xr xi] @ [[wr, wi], [-wi, wr]].
+
+    w_re/w_im: (nb, I, O)  ->  (nb, 2I, 2O)
+    """
+    top = jnp.concatenate([w_re, w_im], axis=-1)      # (nb, I, 2O)
+    bot = jnp.concatenate([-w_im, w_re], axis=-1)     # (nb, I, 2O)
+    return jnp.concatenate([top, bot], axis=-2)       # (nb, 2I, 2O)
+
+
+def afno_mode_mlp(
+    x_re: jax.Array,
+    x_im: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    act: Callable[[jax.Array], jax.Array],
+    compute_dtype: jnp.dtype | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """2-layer complex block-diagonal MLP on kept Fourier modes.
+
+    x_re, x_im: (N, nb, bs) — N flattened kept modes (batch*kh*kw[*kt]).
+    w1: (2, nb, bs, bs*f), b1: (2, nb, bs*f), w2: (2, nb, bs*f, bs),
+    b2: (2, nb, bs). Layout identical to the reference parameters
+    (models/dpot.py:45-48) for checkpoint interop.
+
+    Returns (o_re, o_im) with shape (N, nb, bs).
+    """
+    bs = x_re.shape[-1]
+    in_dtype = x_re.dtype
+    cd = compute_dtype or in_dtype
+
+    W1 = _complex_as_real_weight(w1[0], w1[1]).astype(cd)    # (nb, 2bs, 2bsf)
+    W2 = _complex_as_real_weight(w2[0], w2[1]).astype(cd)    # (nb, 2bsf, 2bs)
+    B1 = jnp.concatenate([b1[0], b1[1]], axis=-1).astype(cd)  # (nb, 2bsf)
+    B2 = jnp.concatenate([b2[0], b2[1]], axis=-1).astype(cd)  # (nb, 2bs)
+
+    z = jnp.concatenate([x_re, x_im], axis=-1).astype(cd)     # (N, nb, 2bs)
+    # batched over nb: (nb, N, 2bs) @ (nb, 2bs, 2bsf)
+    h = jnp.einsum("nbi,bio->nbo", z, W1, preferred_element_type=cd) + B1
+    h = act(h)
+    o = jnp.einsum("nbi,bio->nbo", h, W2, preferred_element_type=cd) + B2
+    o = o.astype(in_dtype)
+    return o[..., :bs], o[..., bs:]
+
+
+def afno_filter_2d(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    modes: int,
+    act: Callable[[jax.Array], jax.Array],
+    compute_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """AFNO 2D spectral mixer, channels-last. x: (B, H, W, C) real.
+
+    Matches reference models/dpot.py:51-110: modes outside the kept corner
+    are zeroed in the filter output (they survive only through the residual).
+    """
+    B, H, W, C = x.shape
+    nb = w1.shape[1]
+    bs = C // nb
+    kh = min(modes, H)
+    kw = min(modes, W // 2 + 1)
+
+    x32 = x.astype(jnp.float32)
+    xf = jnp.fft.rfft2(x32, axes=(1, 2), norm="ortho")  # (B, H, W//2+1, C) c64
+
+    corner = xf[:, :kh, :kw, :]
+    cr = corner.real.reshape(B * kh * kw, nb, bs)
+    ci = corner.imag.reshape(B * kh * kw, nb, bs)
+
+    o_re, o_im = afno_mode_mlp(cr, ci, w1, b1, w2, b2, act, compute_dtype)
+
+    o = jax.lax.complex(
+        o_re.astype(jnp.float32), o_im.astype(jnp.float32)
+    ).reshape(B, kh, kw, C)
+    # scatter the corner back into an otherwise-zero spectrum
+    yf = jnp.pad(o, ((0, 0), (0, H - kh), (0, W // 2 + 1 - kw), (0, 0)))
+    y = jnp.fft.irfft2(yf, s=(H, W), axes=(1, 2), norm="ortho")
+    return (y + x32).astype(x.dtype)
+
+
+def afno_filter_3d(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    modes: int,
+    temporal_modes: int,
+    act: Callable[[jax.Array], jax.Array],
+    compute_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """AFNO 3D spectral mixer, channels-last. x: (B, X, Y, Z, C) real.
+
+    Matches reference models/dpot3d.py:46-97 (rfftn over (1,2,3), kept
+    corner [:modes, :modes, :temporal_modes]).
+    """
+    B, H, W, L, C = x.shape
+    nb = w1.shape[1]
+    bs = C // nb
+    kh = min(modes, H)
+    kw = min(modes, W)
+    kt = min(temporal_modes, L // 2 + 1)
+
+    x32 = x.astype(jnp.float32)
+    xf = jnp.fft.rfftn(x32, axes=(1, 2, 3), norm="ortho")  # (B,H,W,L//2+1,C)
+
+    corner = xf[:, :kh, :kw, :kt, :]
+    cr = corner.real.reshape(B * kh * kw * kt, nb, bs)
+    ci = corner.imag.reshape(B * kh * kw * kt, nb, bs)
+
+    o_re, o_im = afno_mode_mlp(cr, ci, w1, b1, w2, b2, act, compute_dtype)
+
+    o = jax.lax.complex(
+        o_re.astype(jnp.float32), o_im.astype(jnp.float32)
+    ).reshape(B, kh, kw, kt, C)
+    yf = jnp.pad(
+        o,
+        ((0, 0), (0, H - kh), (0, W - kw), (0, L // 2 + 1 - kt), (0, 0)),
+    )
+    y = jnp.fft.irfftn(yf, s=(H, W, L), axes=(1, 2, 3), norm="ortho")
+    return (y + x32).astype(x.dtype)
+
+
+def spectral_resize(x: jax.Array, out_size: tuple[int, int]) -> jax.Array:
+    """Fourier-domain resample over the last two axes of a real array.
+
+    Port of the reference `resize` (utils/utilities.py:277-305): rfft2 with
+    'backward' norm, copy the low-frequency top/bottom bands into a
+    zero spectrum of the target size, irfft2, rescale amplitude by the
+    resolution ratio. x: (..., H, W).
+    """
+    H, W = x.shape[-2], x.shape[-1]
+    oh, ow = out_size
+    f = jnp.fft.rfft2(x.astype(jnp.float32), axes=(-2, -1), norm="backward")
+
+    top1 = min((H + 1) // 2, (oh + 1) // 2)
+    top2 = min(f.shape[-1], ow // 2 + 1)
+    bot1 = min(H // 2, oh // 2)
+
+    fz = jnp.zeros((*x.shape[:-2], oh, ow // 2 + 1), dtype=f.dtype)
+    fz = fz.at[..., :top1, :top2].set(f[..., :top1, :top2])
+    fz = fz.at[..., oh - bot1 :, :top2].set(f[..., H - bot1 :, :top2])
+
+    y = jnp.fft.irfft2(fz, s=(oh, ow), axes=(-2, -1))
+    y = y * (oh / H) * (ow / W)
+    return y.astype(x.dtype)
+
+
+def resize_temporal(x: jax.Array, out_size: tuple[int, int]) -> jax.Array:
+    """Spectral resize for (B, X, Y, T, C) layout (reference resize with
+    temporal=True, utils/utilities.py:277-282)."""
+    B, X, Y, T, C = x.shape
+    xs = jnp.transpose(x, (0, 3, 4, 1, 2)).reshape(B, T * C, X, Y)
+    ys = spectral_resize(xs, out_size)
+    return jnp.transpose(
+        ys.reshape(B, T, C, out_size[0], out_size[1]), (0, 3, 4, 1, 2)
+    )
