@@ -1,0 +1,280 @@
+"""Uniform-grid temporal datasets (host-side, numpy).
+
+Port of the reference data layer semantics (utils/griddataset.py):
+
+- MixedTemporalDataset (:27-174): weighted concatenation of named datasets;
+  per sample: HDF5 read -> bilinear resize to res^2 -> pad channels to Cmax
+  with ONES -> train: random start window (x=[t0,t0+t_in), y=next t_ar
+  frames, all-ones mask) / test: full t_test trajectory + a mask that
+  subsamples back to the original resolution and zeroes padded channels.
+- TemporalDataset3D (:454-564): single-dataset 3D version (trilinear).
+
+Feeds the TPU via numpy arrays; device transfer/sharding happens in the
+training loop. Synthetic specs generate deterministic smooth trajectories
+in memory (capability the reference lacks; used when no corpus is mounted).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from dpot_tpu.data.registry import DATASET_DICT, DatasetSpec
+from dpot_tpu.data.resize import resize_linear_nd
+
+
+def _open_sample_reader(spec: DatasetSpec, train: bool) -> Callable[[int], np.ndarray]:
+    """Reader for one dataset: idx -> raw sample array (spatial..., T, C?)."""
+    if spec.synthetic:
+        return lambda idx: _synthetic_sample(spec, train, idx)
+    import h5py
+
+    path = spec.resolve(train)
+    if spec.scatter_storage:
+        def read(idx: int) -> np.ndarray:
+            with h5py.File(os.path.join(path, f"data_{idx}.hdf5"), "r") as f:
+                return f["data"][:]
+
+        return read
+
+    handle = {}
+
+    def read_single(idx: int) -> np.ndarray:
+        # lazily open per process/thread to be fork-safe
+        key = os.getpid()
+        if key not in handle:
+            handle[key] = h5py.File(path, "r")
+        return handle[key]["data"][idx][:]
+
+    return read_single
+
+
+def _synthetic_sample(spec: DatasetSpec, train: bool, idx: int) -> np.ndarray:
+    """Deterministic smooth pseudo-trajectory: low-frequency random field
+    advected by a phase rotation in Fourier space."""
+    seed = abs(hash((spec.name, bool(train), int(idx)))) % (2**31)
+    rng = np.random.default_rng(seed)
+    size = spec.in_size
+    T, C = spec.t_total, spec.n_channels
+    k = 6  # number of low-frequency modes per axis
+    if len(size) == 2:
+        H, W = size
+        coef = rng.standard_normal((k, k, C)) + 1j * rng.standard_normal((k, k, C))
+        freq = np.zeros((H, W, C), dtype=complex)
+        freq[:k, :k] = coef
+        omega = 2 * np.pi * rng.random((k, k, C)) * 0.05
+        out = np.empty((H, W, T, C), dtype=np.float32)
+        for t in range(T):
+            ft = np.zeros_like(freq)
+            ft[:k, :k] = coef * np.exp(1j * omega * t)
+            out[..., t, :] = np.real(np.fft.ifft2(ft, axes=(0, 1))) * H
+        return out
+    H, W, L = size
+    coef = rng.standard_normal((k, k, k, C)) + 1j * rng.standard_normal((k, k, k, C))
+    omega = 2 * np.pi * rng.random((k, k, k, C)) * 0.05
+    out = np.empty((H, W, L, T, C), dtype=np.float32)
+    for t in range(T):
+        ft = np.zeros((H, W, L, C), dtype=complex)
+        ft[:k, :k, :k] = coef * np.exp(1j * omega * t)
+        out[..., t, :] = np.real(np.fft.ifftn(ft, axes=(0, 1, 2))) * H
+    return out
+
+
+class MixedTemporalDataset:
+    """Weighted multi-dataset mixture for pretraining
+    (reference utils/griddataset.py:27-174)."""
+
+    def __init__(
+        self,
+        data_names: Sequence[str] | str,
+        n_list: Optional[Sequence[int]] = None,
+        res: int = 128,
+        t_in: int = 10,
+        t_ar: int = 1,
+        n_channels: Optional[int] = None,
+        normalize: bool = False,
+        train: bool = True,
+        data_weights: Optional[Sequence[int]] = None,
+    ):
+        self.data_names = [data_names] if isinstance(data_names, str) else list(data_names)
+        self.specs = [DATASET_DICT[n] for n in self.data_names]
+        self.data_weights = (
+            list(data_weights) if data_weights is not None else [1] * len(self.specs)
+        )
+        self.t_in = t_in
+        self.t_ar = t_ar
+        self.train = train
+        self.res = res
+        self.n_sizes = (
+            list(n_list)
+            if n_list is not None
+            else [s.train_size if train else s.test_size for s in self.specs]
+        )
+        weighted = [s * w for s, w in zip(self.n_sizes, self.data_weights)]
+        self.cumulative_sizes = np.cumsum(weighted)
+        self.t_tests = [s.t_test for s in self.specs]
+        self.downsamples = [s.downsample for s in self.specs]
+        self.n_channels = (
+            max(s.n_channels for s in self.specs)
+            if n_channels is None
+            else n_channels
+        )
+        self.readers = [_open_sample_reader(s, train) for s in self.specs]
+
+        self.normalize = normalize
+        self.normalizers: list = []
+        if normalize:
+            from dpot_tpu.utils.normalizer import UnitTransformer
+
+            for i, s in enumerate(self.specs):
+                n_fit = min(500, self.n_sizes[i])
+                samples = np.stack([self.readers[i](j) for j in range(n_fit)])
+                self.normalizers.append(UnitTransformer(samples))
+
+    def __len__(self) -> int:
+        return int(self.cumulative_sizes[-1])
+
+    # -- reference pad_data (griddataset.py:88-101) --
+    def pad_data(self, x: np.ndarray) -> np.ndarray:
+        x = resize_linear_nd(x, (self.res, self.res))
+        H, W, T, C = x.shape
+        if C < self.n_channels:  # pad channels with ONES
+            pad = np.ones((H, W, T, self.n_channels - C), dtype=x.dtype)
+            x = np.concatenate([x, pad], axis=-1)
+        return x
+
+    # -- reference get_target_mask (griddataset.py:103-117) --
+    def get_target_mask(self, x: np.ndarray, size_orig: Sequence[int]) -> np.ndarray:
+        msk = np.zeros((*x.shape[:2], 1, x.shape[-1]), dtype=np.float32)
+        kx = max(x.shape[0] // size_orig[0], 1)
+        ky = max(x.shape[1] // size_orig[1], 1)
+        msk[::kx, ::ky, :, : size_orig[-1]] = 1.0
+        return msk
+
+    def locate(self, idx: int) -> tuple[int, int]:
+        """Weighted mixture indexing (griddataset.py:133-140)."""
+        dataset_idx = int(np.searchsorted(self.cumulative_sizes, idx + 1))
+        data_idx = idx if dataset_idx == 0 else idx - int(
+            self.cumulative_sizes[dataset_idx - 1]
+        )
+        data_idx //= self.data_weights[dataset_idx]
+        return dataset_idx, int(data_idx)
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        dataset_idx, data_idx = self.locate(idx)
+        sample = np.asarray(self.readers[dataset_idx](data_idx), dtype=np.float32)
+        if sample.ndim == 3:  # augment channel dim
+            sample = sample[..., None]
+
+        spec = self.specs[dataset_idx]
+        orig_size = list(sample.shape)
+        if spec.pred_channels is not None:
+            orig_size[-1] = spec.pred_channels
+        sample = self.pad_data(sample)
+
+        if self.train:
+            rng = rng or np.random
+            hi = max(sample.shape[-2] - (self.t_in + self.t_ar) + 1, 1)
+            start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
+            x = sample[..., start : start + self.t_in, :]
+            y = sample[
+                ..., start + self.t_in : min(start + self.t_in + self.t_ar, sample.shape[-2]), :
+            ]
+            msk = np.ones((*x.shape[:2], 1, x.shape[-1]), dtype=np.float32)
+        else:
+            start = 0
+            x = sample[..., : self.t_in, :]
+            y = sample[..., self.t_in : self.t_in + self.t_tests[dataset_idx], :]
+            msk = self.get_target_mask(sample, orig_size)
+
+        if self.normalize:
+            nz = self.normalizers[dataset_idx]
+            x = (x - nz.mean[..., start : start + self.t_in, :]) / (
+                nz.std[..., start : start + self.t_in, :] + 1e-6
+            )
+
+        ds = self.downsamples[dataset_idx]
+        if tuple(ds) != (1, 1):
+            x, y = x[:: ds[0], :: ds[1]], y[:: ds[0], :: ds[1]]
+
+        return x, y, msk, np.int32(dataset_idx)
+
+
+class TemporalDataset3D:
+    """Single-dataset 3D version (reference utils/griddataset.py:454-564)."""
+
+    def __init__(
+        self,
+        data_name: str,
+        n_train: Optional[int] = None,
+        res: int = 128,
+        t_in: int = 10,
+        t_ar: int = 1,
+        n_channels: Optional[int] = None,
+        train: bool = True,
+    ):
+        self.spec = DATASET_DICT[data_name]
+        self.n_size = (
+            n_train
+            if n_train is not None
+            else (self.spec.train_size if train else self.spec.test_size)
+        )
+        self.train = train
+        self.res = res
+        self.t_in = t_in
+        self.t_ar = t_ar
+        self.t_test = self.spec.t_test
+        self.n_channels = (
+            self.spec.n_channels if n_channels is None else n_channels
+        )
+        self.downsample = self.spec.downsample
+        self.reader = _open_sample_reader(self.spec, train)
+
+    def __len__(self) -> int:
+        return int(self.n_size)
+
+    def pad_data(self, x: np.ndarray) -> np.ndarray:
+        x = resize_linear_nd(x, (self.res, self.res, self.res))
+        *sp, T, C = x.shape
+        if C < self.n_channels:
+            pad = np.ones((*sp, T, self.n_channels - C), dtype=x.dtype)
+            x = np.concatenate([x, pad], axis=-1)
+        return x
+
+    def get_target_mask(self, x: np.ndarray, size_orig: Sequence[int]) -> np.ndarray:
+        msk = np.zeros((*x.shape[:3], 1, x.shape[-1]), dtype=np.float32)
+        kx = max(x.shape[0] // size_orig[0], 1)
+        ky = max(x.shape[1] // size_orig[1], 1)
+        kz = max(x.shape[2] // size_orig[2], 1)
+        msk[::kx, ::ky, ::kz, :, : size_orig[-1]] = 1.0
+        return msk
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        sample = np.asarray(self.reader(idx), dtype=np.float32)
+        if sample.ndim == 4:
+            sample = sample[..., None]
+        orig_size = list(sample.shape)
+        if self.spec.pred_channels is not None:
+            orig_size[-1] = self.spec.pred_channels
+        sample = self.pad_data(sample)
+
+        if self.train:
+            rng = rng or np.random
+            hi = max(sample.shape[-2] - (self.t_in + self.t_ar) + 1, 1)
+            start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
+            x = sample[..., start : start + self.t_in, :]
+            y = sample[
+                ..., start + self.t_in : min(start + self.t_in + self.t_ar, sample.shape[-2]), :
+            ]
+            msk = np.ones((*x.shape[:3], 1, x.shape[-1]), dtype=np.float32)
+        else:
+            x = sample[..., : self.t_in, :]
+            y = sample[..., self.t_in : self.t_in + self.t_test, :]
+            msk = self.get_target_mask(sample, orig_size)
+
+        ds = self.downsample
+        if tuple(ds) != (1, 1, 1):
+            x, y = x[:: ds[0], :: ds[1], :: ds[2]], y[:: ds[0], :: ds[1], :: ds[2]]
+        return x, y, msk, np.int32(0)

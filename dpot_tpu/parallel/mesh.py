@@ -1,0 +1,64 @@
+"""Device mesh + sharding helpers.
+
+This replaces the reference's distributed runtime (HF Accelerate / torch DDP
+/ NCCL, train_temporal_parallel.py:102,185,244,294-297 and the
+`accelerate launch` plumbing in parallel_trainer.py:66) with the JAX
+single-controller SPMD model: build a Mesh once, place the batch with a
+NamedSharding over the 'data' axis, keep params replicated (or sharded for
+large models), and let XLA insert the gradient psums over ICI.
+
+Axes:
+  data    — batch (pure DP; like-for-like with the reference's only strategy)
+  spatial — H-axis sharding for >128^2 native-resolution training (the
+            extension the reference lacks; pairs with a distributed FFT,
+            dpot_tpu/parallel/dist_fft.py)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    spatial: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // spatial
+    assert data * spatial == n, (
+        f"mesh {data}x{spatial} != {n} devices"
+    )
+    arr = np.array(devices).reshape(data, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def batch_spec(ndim: int, spatial_sharded: bool = False) -> P:
+    """PartitionSpec for a (B, H, W, ..., T, C) batch tensor: batch over
+    'data', optionally H over 'spatial'."""
+    parts: list = ["data"]
+    if ndim > 1:
+        parts.append("spatial" if spatial_sharded else None)
+    parts += [None] * (ndim - len(parts))
+    return P(*parts)
+
+
+def shard_batch(batch: dict, mesh: Mesh, spatial_sharded: bool = False) -> dict:
+    """Place a host batch dict onto the mesh, batch-sharded over 'data'."""
+    out = {}
+    for k, v in batch.items():
+        spec = batch_spec(np.ndim(v), spatial_sharded) if np.ndim(v) > 0 else P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

@@ -1,0 +1,234 @@
+"""Complex-safe optimizers as optax gradient transformations.
+
+Update rules pinned to the reference's hand-rolled functional optimizers
+(utils/optimizer.py): `adam` (:9-52, coupled weight decay added to the
+gradient), `adamw` (:170-212, decoupled step-weight decay), and `lamb`
+(:380-499, trust-ratio with clamp, optional adam mode / debias — the
+training scripts use adam=True, debias=False, wd=1e-4,
+train_temporal.py:133).
+
+Complex parameters (FNO spectral weights) are handled the way the
+reference's `addcmul_(grad, grad.conj())` does (utils/optimizer.py:41,201):
+the second moment is |g|^2 (real), the first moment stays complex. This is
+what makes Adam correct for complex params; stock torch.optim.Adam at the
+time squared the gradient without conjugation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Schedule = Union[float, Callable[[jax.Array], jax.Array]]
+
+
+def _lr_at(lr: Schedule, step: jax.Array) -> jax.Array:
+    return lr(step) if callable(lr) else jnp.asarray(lr)
+
+
+def _abs_sq(g: jax.Array) -> jax.Array:
+    """g * conj(g) as a real array (second-moment accumulator)."""
+    if jnp.iscomplexobj(g):
+        return jnp.square(g.real) + jnp.square(g.imag)
+    return jnp.square(g)
+
+
+class AdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def adam(
+    learning_rate: Schedule,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 1e-6,
+) -> optax.GradientTransformation:
+    """Reference Adam (utils/optimizer.py:9-52): coupled weight decay,
+    bias-corrected, complex-safe."""
+
+    def init(params):
+        return AdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(lambda p: jnp.zeros(p.shape, _real_dtype(p)), params),
+        )
+
+    def update(grads, state, params):
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        if weight_decay != 0.0:
+            grads = jax.tree.map(lambda g, p: g + weight_decay * p, grads, params)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1 - b2) * _abs_sq(g), state.nu, grads
+        )
+        lr = _lr_at(learning_rate, state.count)
+        step_size = lr / bc1
+
+        def upd(m, v):
+            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
+            return (-step_size * (m / denom)).astype(m.dtype)
+
+        updates = jax.tree.map(upd, mu, nu)
+        return updates, AdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def adamw(
+    learning_rate: Schedule,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 1e-2,
+) -> optax.GradientTransformation:
+    """Reference AdamW (utils/optimizer.py:170-212): decoupled decay
+    p *= (1 - lr*wd) folded into the additive update."""
+
+    def init(params):
+        return AdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(lambda p: jnp.zeros(p.shape, _real_dtype(p)), params),
+        )
+
+    def update(grads, state, params):
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1 - b2) * _abs_sq(g), state.nu, grads
+        )
+        lr = _lr_at(learning_rate, state.count)
+        step_size = lr / bc1
+
+        def upd(p, m, v):
+            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
+            return (-lr * weight_decay * p - step_size * (m / denom)).astype(p.dtype)
+
+        updates = jax.tree.map(upd, params, mu, nu)
+        return updates, AdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def lamb(
+    learning_rate: Schedule,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 1e-4,
+    clamp_value: float = 10.0,
+    adam_mode: bool = True,
+    debias: bool = False,
+) -> optax.GradientTransformation:
+    """Reference Lamb (utils/optimizer.py:380-499). The training scripts run
+    it with adam=True, debias=False (train_temporal.py:133): no bias
+    correction, eps added directly to sqrt(v), trust ratio forced to 1 but
+    the Lamb-style update (m/(sqrt(v)+eps) + wd*p) retained."""
+
+    def init(params):
+        return AdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(lambda p: jnp.zeros(p.shape, _real_dtype(p)), params),
+        )
+
+    def update(grads, state, params):
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1 - b2) * _abs_sq(g), state.nu, grads
+        )
+        if debias:
+            cf = count.astype(jnp.float32)
+            bias_correction = jnp.sqrt(1.0 - b2**cf) / (1.0 - b1**cf)
+        else:
+            bias_correction = 1.0
+        lr = _lr_at(learning_rate, state.count)
+        step_size = lr * bias_correction
+
+        def upd(p, m, v):
+            adam_step = m / (jnp.sqrt(v) + eps)
+            if weight_decay != 0.0:
+                adam_step = adam_step + weight_decay * p
+            if adam_mode:
+                trust_ratio = 1.0
+            else:
+                weight_norm = jnp.clip(
+                    jnp.linalg.norm(jnp.ravel(p)), 0.0, clamp_value
+                )
+                adam_norm = jnp.linalg.norm(jnp.ravel(adam_step))
+                trust_ratio = jnp.where(
+                    (weight_norm == 0.0) | (adam_norm == 0.0),
+                    1.0,
+                    weight_norm / jnp.maximum(adam_norm, 1e-30),
+                )
+            return (-step_size * trust_ratio * adam_step).astype(p.dtype)
+
+        updates = jax.tree.map(upd, params, mu, nu)
+        return updates, AdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _real_dtype(p: jax.Array) -> jnp.dtype:
+    return jnp.zeros((), p.dtype).real.dtype
+
+
+def clip_by_global_norm(max_norm: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_ equivalent (train_temporal.py:228):
+    scale ALL grads by max_norm/total_norm when total_norm > max_norm.
+    Complex-safe (uses |g|^2)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(grads, state, params=None):
+        del params
+        leaves = jax.tree.leaves(grads)
+        total = jnp.sqrt(sum(jnp.sum(_abs_sq(g)) for g in leaves))
+        scale = jnp.minimum(1.0, max_norm / (total + 1e-6))
+        return jax.tree.map(lambda g: g * scale, grads), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(
+    name: str,
+    learning_rate: Schedule,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    grad_clip: Optional[float] = None,
+    weight_decay: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Optimizer dispatch matching train_temporal.py:131-135 defaults."""
+    if name == "adam":
+        tx = adam(
+            learning_rate, beta1, beta2,
+            weight_decay=1e-6 if weight_decay is None else weight_decay,
+        )
+    elif name == "adamw":
+        tx = adamw(
+            learning_rate, beta1, beta2,
+            weight_decay=1e-2 if weight_decay is None else weight_decay,
+        )
+    elif name == "lamb":
+        tx = lamb(
+            learning_rate, beta1, beta2,
+            weight_decay=1e-4 if weight_decay is None else weight_decay,
+        )
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if grad_clip is not None:
+        tx = optax.chain(clip_by_global_norm(grad_clip), tx)
+    return tx

@@ -1,0 +1,135 @@
+"""Jitted train / eval steps with autoregressive rollout.
+
+Semantics pinned to the reference train loop (train_temporal.py:179-248):
+- per AR step: noise injection x += noise_scale * ||x||_(H,W,T) * eps
+  (train_temporal.py:205), model forward, masked relative-L2 accumulated
+  over rollout steps, prediction fed back by sliding the time window
+  (train_temporal.py:219);
+- backward through the whole unrolled rollout;
+- global-norm grad clip -> optimizer -> per-iteration LR schedule;
+- the classifier CE loss is computed for metrics but NOT added to the
+  training loss (train_temporal.py:226: `total_loss = loss`).
+
+Eval rollout (train_temporal.py:252-284 / evaluate.py:183-216) is a
+`lax.scan` over t_test/T_bundle model applications.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from dpot_tpu.train.state import TrainState
+from dpot_tpu.utils.criterion import cross_entropy_sum, rel_lp_loss
+
+
+def make_train_step(
+    t_bundle: int = 1,
+    noise_scale: float = 0.0,
+    donate: bool = True,
+) -> Callable[[TrainState, dict[str, jax.Array]], tuple[TrainState, dict]]:
+    """Build a jitted train step.
+
+    batch: dict(x=(B,H,W,T_in,C), y=(B,H,W,T_ar,C), msk=(B,H,W,1,C),
+    cls=(B,)). The number of rollout steps T_ar // t_bundle is static, so
+    the rollout unrolls inside jit exactly like the reference's Python loop
+    unrolls in autograd.
+    """
+
+    def loss_fn(params, apply_fn, batch, rng):
+        x, y, msk, cls = batch["x"], batch["y"], batch["msk"], batch["cls"]
+        t_ar = y.shape[-2]
+        n_steps = max(t_ar // t_bundle, 1)
+
+        loss = 0.0
+        cls_loss = 0.0
+        cls_correct = 0.0
+        preds = []
+        for s in range(n_steps):
+            y_s = y[..., s * t_bundle : (s + 1) * t_bundle, :]
+            if noise_scale > 0.0:
+                rng, nrng = jax.random.split(rng)
+                xnorm = jnp.sqrt(
+                    jnp.sum(jnp.square(x), axis=(1, 2, 3), keepdims=True)
+                )
+                x = x + noise_scale * xnorm * jax.random.normal(
+                    nrng, x.shape, x.dtype
+                )
+            im, cls_pred = apply_fn(params, x)
+            loss = loss + rel_lp_loss(im, y_s, msk)
+            cls_loss = cls_loss + cross_entropy_sum(cls_pred, cls)
+            cls_correct = cls_correct + jnp.sum(
+                jnp.argmax(cls_pred, axis=-1) == cls
+            )
+            preds.append(im)
+            x = jnp.concatenate([x[..., t_bundle:, :], im], axis=-2)
+
+        pred_full = jnp.concatenate(preds, axis=-2) if len(preds) > 1 else preds[0]
+        full_loss = rel_lp_loss(pred_full, y[..., : pred_full.shape[-2], :], msk)
+        aux = {
+            "loss_step": loss,
+            "loss_full": full_loss,
+            "cls_loss": cls_loss,
+            "cls_correct": cls_correct,
+            "n_steps": jnp.asarray(n_steps, jnp.float32),
+        }
+        return loss, aux
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
+        rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, aux), grads = grad_fn(
+            state.params, state.apply_fn, batch, step_rng
+        )
+        new_state = state.apply_gradients(grads).replace(rng=rng)
+        aux["grad_norm"] = jnp.sqrt(
+            sum(
+                jnp.sum(jnp.square(jnp.abs(g))) for g in jax.tree.leaves(grads)
+            )
+        )
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_rollout(
+    t_bundle: int = 1,
+) -> Callable[[Any, Any, dict[str, jax.Array]], dict]:
+    """Build a jitted full-trajectory rollout evaluator.
+
+    Returns summed step loss, full-trajectory loss, and the final
+    prediction stack (for metric batteries). t_test is static per test
+    dataset (shape-bucketed, SURVEY.md §7 hard part (e)).
+    """
+
+    @partial(jax.jit, static_argnums=(0,))
+    def eval_rollout(apply_fn, params, batch) -> dict:
+        x, y, msk = batch["x"], batch["y"], batch["msk"]
+        t_test = y.shape[-2]
+        n_steps = (t_test + t_bundle - 1) // t_bundle
+
+        def body(carry, _):
+            xc = carry
+            im, _ = apply_fn(params, xc)
+            xn = jnp.concatenate([xc[..., t_bundle:, :], im], axis=-2)
+            return xn, im
+
+        _, ims = jax.lax.scan(body, x, None, length=n_steps)
+        # ims: (n_steps, B, H, W, t_bundle, C) -> (B, H, W, n_steps*t_bundle, C)
+        pred = jnp.moveaxis(ims, 0, -3).reshape(
+            *x.shape[:-2], n_steps * t_bundle, x.shape[-1]
+        )
+        pred = pred[..., :t_test, :]
+
+        step_loss = 0.0
+        for s in range(n_steps):
+            sl = slice(s * t_bundle, min((s + 1) * t_bundle, t_test))
+            step_loss = step_loss + rel_lp_loss(pred[..., sl, :], y[..., sl, :], msk)
+        full_loss = rel_lp_loss(pred, y, msk)
+        return {"loss_step": step_loss, "loss_full": full_loss, "pred": pred}
+
+    return eval_rollout

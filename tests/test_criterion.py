@@ -1,0 +1,91 @@
+"""Golden tests for the loss/metric battery against an independent torch
+computation of the reference formulas (SimpleLpLoss with size_average=False,
+utils/criterion.py:38-61)."""
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+from dpot_tpu.utils.criterion import (
+    cross_entropy_sum,
+    evaluator_metrics,
+    rel_lp_loss,
+    rel_lp_metric,
+)
+
+
+def torch_simple_lp(x, y, mask=None, p=2):
+    x = torch.from_numpy(x)
+    y = torch.from_numpy(y)
+    B = x.shape[0]
+    if mask is not None:
+        m = torch.from_numpy(mask)
+        x = x * m
+        y = y * m
+        msk_channels = (
+            m.sum(dim=list(range(1, m.ndim - 1))).count_nonzero(dim=-1)
+        )
+    else:
+        msk_channels = torch.full((B,), x.shape[-1])
+    dn = torch.norm(x.reshape(B, -1, x.shape[-1]) - y.reshape(B, -1, x.shape[-1]), p, dim=1)
+    yn = torch.norm(y.reshape(B, -1, y.shape[-1]), p, dim=1) + 1e-8
+    return float(torch.sum(torch.sum(dn / yn, dim=-1) / msk_channels))
+
+
+def test_rel_lp_loss_masked_matches_torch():
+    rng = np.random.default_rng(0)
+    B, H, W, T, C = 3, 8, 8, 4, 5
+    x = rng.standard_normal((B, H, W, T, C)).astype(np.float32)
+    y = rng.standard_normal((B, H, W, T, C)).astype(np.float32)
+    # mask: subsampled resolution + zeroed padded channels (as the data
+    # layer produces for test sets)
+    mask = np.zeros((B, H, W, 1, C), dtype=np.float32)
+    mask[:, ::2, ::2, :, :3] = 1.0
+    got = float(rel_lp_loss(jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)))
+    want = torch_simple_lp(x, y, mask)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_rel_lp_loss_unmasked_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 6, 6, 2, 3)).astype(np.float32)
+    y = rng.standard_normal((2, 6, 6, 2, 3)).astype(np.float32)
+    got = float(rel_lp_loss(jnp.asarray(x), jnp.asarray(y)))
+    want = torch_simple_lp(x, y)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_cross_entropy_sum_matches_torch():
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((7, 12)).astype(np.float32)
+    labels = rng.integers(0, 12, 7)
+    got = float(cross_entropy_sum(jnp.asarray(logits), jnp.asarray(labels)))
+    want = float(
+        torch.nn.CrossEntropyLoss(reduction="sum")(
+            torch.from_numpy(logits), torch.from_numpy(labels)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_evaluator_metrics_match_torch():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 6, 6, 3, 2)).astype(np.float32)
+    y = rng.standard_normal((4, 6, 6, 3, 2)).astype(np.float32)
+    m = evaluator_metrics(jnp.asarray(x), jnp.asarray(y), temporal=True)
+    xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+    _p = xt.reshape(4, -1, 2)
+    _t = yt.reshape(4, -1, 2)
+    nmae = ((_p - _t).abs().sum(dim=1) / _t.abs().sum(dim=1)).mean(dim=0)
+    np.testing.assert_allclose(np.asarray(m["nmae"]), nmae.numpy(), rtol=1e-5)
+    nmse = torch.sqrt(((_p - _t) ** 2).sum(dim=1) / (_t**2).sum(dim=1)).mean(dim=0)
+    np.testing.assert_allclose(np.asarray(m["nmse"]), nmse.numpy(), rtol=1e-5)
+    assert m["nmae_t"].shape == (3, 2)
+
+
+def test_rel_lp_metric_shapes():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 5, 5, 3)).astype(np.float32)
+    y = rng.standard_normal((2, 5, 5, 3)).astype(np.float32)
+    assert rel_lp_metric(jnp.asarray(x), jnp.asarray(y)).shape == ()
+    assert rel_lp_metric(jnp.asarray(x), jnp.asarray(y), per_channel=True).shape == (3,)

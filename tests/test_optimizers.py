@@ -1,0 +1,120 @@
+"""Optimizer update-rule tests against independent torch computations of the
+reference rules (utils/optimizer.py: adam :9-52, lamb :380-499) including
+complex parameters."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from dpot_tpu.train.optimizers import (
+    adam,
+    adamw,
+    build_optimizer,
+    clip_by_global_norm,
+    lamb,
+)
+
+
+def run_jax_opt(tx, p0, grads_seq):
+    params = {"p": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads_seq:
+        updates, state = tx.update({"p": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    return np.asarray(params["p"])
+
+
+def torch_adam_ref(p0, grads_seq, lr, b1, b2, eps, wd):
+    p = torch.from_numpy(p0.copy())
+    m = torch.zeros_like(p)
+    v = torch.zeros_like(p, dtype=torch.float32 if not p.is_complex() else torch.complex64)
+    step = 0
+    for g in grads_seq:
+        g = torch.from_numpy(g)
+        step += 1
+        bc1 = 1 - b1**step
+        bc2 = 1 - b2**step
+        if wd:
+            g = g + wd * p
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * (g * g.conj())
+        denom = (v.real.sqrt() / np.sqrt(bc2)) + eps
+        p = p - (lr / bc1) * m / denom
+    return p.numpy()
+
+
+def test_adam_matches_reference_rule_real():
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((4, 3)).astype(np.float32)
+    gs = [rng.standard_normal((4, 3)).astype(np.float32) for _ in range(5)]
+    got = run_jax_opt(adam(1e-2, 0.9, 0.999, 1e-8, 1e-6), p0, gs)
+    want = torch_adam_ref(p0, gs, 1e-2, 0.9, 0.999, 1e-8, 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_adam_complex_params():
+    rng = np.random.default_rng(1)
+    p0 = (rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))).astype(
+        np.complex64
+    )
+    gs = [
+        (rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))).astype(
+            np.complex64
+        )
+        for _ in range(4)
+    ]
+    got = run_jax_opt(adam(1e-2, 0.9, 0.999, 1e-8, 0.0), p0, gs)
+    want = torch_adam_ref(p0, gs, 1e-2, 0.9, 0.999, 1e-8, 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_lamb_adam_mode_no_debias():
+    """Lamb(adam=True, debias=False) — the exercised configuration
+    (train_temporal.py:133)."""
+    rng = np.random.default_rng(2)
+    p0 = rng.standard_normal((5,)).astype(np.float32)
+    gs = [rng.standard_normal((5,)).astype(np.float32) for _ in range(3)]
+    got = run_jax_opt(lamb(1e-3, 0.9, 0.999, 1e-6, 1e-4), p0, gs)
+
+    # independent reference of the rule
+    p = p0.copy()
+    m = np.zeros_like(p0)
+    v = np.zeros_like(p0)
+    for g in gs:
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        step = m / (np.sqrt(v) + 1e-6) + 1e-4 * p
+        p = p - 1e-3 * step
+    np.testing.assert_allclose(got, p, rtol=1e-5, atol=1e-6)
+
+
+def test_global_norm_clip_matches_torch():
+    rng = np.random.default_rng(3)
+    gs = {
+        "a": rng.standard_normal((4, 4)).astype(np.float32),
+        "b": rng.standard_normal((7,)).astype(np.float32) * 10,
+    }
+    tx = clip_by_global_norm(1.0)
+    state = tx.init(gs)
+    clipped, _ = tx.update({k: jnp.asarray(v) for k, v in gs.items()}, state)
+
+    ts = [torch.from_numpy(v.copy()).requires_grad_(True) for v in gs.values()]
+    for t, v in zip(ts, gs.values()):
+        t.grad = torch.from_numpy(v.copy())
+    torch.nn.utils.clip_grad_norm_(ts, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(clipped["a"]), ts[0].grad.numpy(), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(clipped["b"]), ts[1].grad.numpy(), rtol=1e-4
+    )
+
+
+def test_build_optimizer_dispatch():
+    for name in ["adam", "adamw", "lamb"]:
+        tx = build_optimizer(name, 1e-3, grad_clip=1.0)
+        p = {"w": jnp.ones((2, 2))}
+        s = tx.init(p)
+        u, _ = tx.update({"w": jnp.ones((2, 2))}, s, p)
+        assert jnp.isfinite(u["w"]).all()

@@ -1,0 +1,99 @@
+"""End-to-end train/eval step tests: loss decreases on a tiny overfit task,
+rollout shapes, and data-parallel equivalence on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dpot_tpu.models.dpot import DPOTNet
+from dpot_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from dpot_tpu.train.optimizers import build_optimizer
+from dpot_tpu.train.schedules import build_schedule
+from dpot_tpu.train.state import TrainState
+from dpot_tpu.train.step import make_eval_rollout, make_train_step
+
+
+def tiny_model_and_batch(B=4, T_ar=2):
+    model = DPOTNet(
+        img_size=16, patch_size=4, in_channels=2, out_channels=2,
+        in_timesteps=4, out_timesteps=1, embed_dim=32, depth=2, n_blocks=4,
+        modes=8, n_cls=3,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, 16, 16, 4, 2)).astype(np.float32)
+    # learnable target: persistence of the last input frame
+    y = np.tile(x[..., -1:, :], (1, 1, 1, T_ar, 1))
+    batch = {
+        "x": jnp.asarray(x),
+        "y": jnp.asarray(y),
+        "msk": jnp.ones((B, 16, 16, 1, 2), jnp.float32),
+        "cls": jnp.zeros((B,), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch["x"])
+    return model, params, batch
+
+
+def test_train_step_decreases_loss():
+    model, params, batch = tiny_model_and_batch()
+    tx = build_optimizer("adam", 1e-2, grad_clip=1.0)
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, rng=jax.random.key(1)
+    )
+    step = make_train_step(t_bundle=1, noise_scale=0.0, donate=False)
+    losses = []
+    for _ in range(60):
+        state, aux = step(state, batch)
+        losses.append(float(aux["loss_step"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    assert int(state.step) == 60
+
+
+def test_train_step_noise_injection_runs():
+    model, params, batch = tiny_model_and_batch(T_ar=1)
+    tx = build_optimizer("lamb", build_schedule("cycle", 1e-3, 10, 10, 1))
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, rng=jax.random.key(2)
+    )
+    step = make_train_step(t_bundle=1, noise_scale=5e-4, donate=False)
+    state, aux = step(state, batch)
+    assert np.isfinite(float(aux["loss_step"]))
+    assert np.isfinite(float(aux["grad_norm"]))
+
+
+def test_eval_rollout_shapes():
+    model, params, batch = tiny_model_and_batch(T_ar=5)
+    roll = make_eval_rollout(t_bundle=1)
+    out = roll(model.apply, params, batch)
+    assert out["pred"].shape == batch["y"].shape
+    assert np.isfinite(float(out["loss_full"]))
+    # rollout step loss >= full loss is not guaranteed, but both finite
+    assert np.isfinite(float(out["loss_step"]))
+
+
+@pytest.mark.multichip
+def test_data_parallel_matches_single_device():
+    """The DP train step over an 8-device mesh must produce the same params
+    as the single-device step (gradient psum correctness)."""
+    model, params, batch = tiny_model_and_batch(B=8, T_ar=1)
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+
+    # single device
+    s1 = TrainState.create(model.apply, params, tx, jax.random.key(3))
+    step = make_train_step(t_bundle=1, noise_scale=0.0, donate=False)
+    s1, aux1 = step(s1, batch)
+
+    # 8-device data parallel
+    mesh = make_mesh(data=8, spatial=1)
+    sharded = shard_batch(batch, mesh)
+    s2 = TrainState.create(model.apply, params, tx, jax.random.key(3))
+    s2 = replicate(s2, mesh)
+    s2, aux2 = step(s2, sharded)
+
+    np.testing.assert_allclose(
+        float(aux1["loss_step"]), float(aux2["loss_step"]), rtol=1e-5
+    )
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(jax.device_get(s2.params))
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
