@@ -1,0 +1,96 @@
+"""Benchmark: DPOT-M (122M) training steps/sec on one TPU chip.
+
+Measures the jitted full training step (fwd + bwd + optimizer, AR rollout
+T_ar=1) for the DPOT-Medium preset at the reference's standard operating
+point: 128^2 grid, patch 8, modes 32, T_in=10 (configs/pretrain_medium.yaml),
+bf16 compute / fp32 params.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+
+vs_baseline compares against an estimated A100 PyTorch fp32 step rate for
+the same config (the reference publishes no numbers — BASELINE.md). The
+estimate (see A100_BASELINE_STEPS_PER_SEC) assumes TF32 matmuls, cuFFT,
+and the reference's permute-heavy NCHW data flow at batch 8.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Estimated reference throughput: DPOT-M fwd+bwd+opt at batch 8 on one A100
+# (fp32/TF32 PyTorch). ~1.3 TFLOP/step at 20-40% utilization of 156 TFLOPS
+# TF32 => ~25-60ms/step; midpoint ~40ms -> 25 steps/s is optimistic for the
+# permute/FFT-bound reference; 10/s is the documented working estimate.
+A100_BASELINE_STEPS_PER_SEC = 10.0
+
+BATCH = 8
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dpot_tpu.models import build_model
+    from dpot_tpu.train.optimizers import build_optimizer
+    from dpot_tpu.train.schedules import build_schedule
+    from dpot_tpu.train.state import TrainState
+    from dpot_tpu.train.step import make_train_step
+
+    model = build_model(
+        "DPOT", preset="M", img_size=128, patch_size=8, in_channels=4,
+        in_timesteps=10, out_timesteps=1, modes=32, n_cls=12,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((BATCH, 128, 128, 10, 4)), jnp.float32),
+        "y": jnp.asarray(rng.standard_normal((BATCH, 128, 128, 1, 4)), jnp.float32),
+        "msk": jnp.ones((BATCH, 128, 128, 1, 4), jnp.float32),
+        "cls": jnp.zeros((BATCH,), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch["x"])
+    tx = build_optimizer(
+        "lamb", build_schedule("cycle", 1e-3, 1000, 10, 1), grad_clip=1.0
+    )
+    state = TrainState.create(model.apply, params, tx, jax.random.key(1))
+    step = make_train_step(t_bundle=1, noise_scale=5e-4)
+
+    # NOTE: rank-0 device->host transfers are UNIMPLEMENTED on the tunneled
+    # TPU backend and block_until_ready does not reliably fence it; timing
+    # fences on an actual (1,1) value fetch instead.
+    def fetch(a):
+        return float(np.asarray(a.reshape(1, 1))[0, 0])
+
+    for _ in range(WARMUP):
+        state, aux = step(state, batch)
+    fetch(aux["loss_step"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, aux = step(state, batch)
+    loss = fetch(aux["loss_step"])
+    dt = (time.perf_counter() - t0) / ITERS
+    assert np.isfinite(loss)
+
+    steps_per_sec = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "DPOT-M train steps/sec/chip (B=8, 128^2, T_in=10, bf16)",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/sec",
+                "vs_baseline": round(steps_per_sec / A100_BASELINE_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,13 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from dpot_tpu.ops.fourier import (
+    irfft2_pair,
+    irfft3_pair,
+    rfft2_pair,
+    rfft3_pair,
+)
+
 
 def _complex_as_real_weight(w_re: jax.Array, w_im: jax.Array) -> jax.Array:
     """Build the real-form weight for complex matmul.
@@ -102,20 +109,21 @@ def afno_filter_2d(
     kw = min(modes, W // 2 + 1)
 
     x32 = x.astype(jnp.float32)
-    xf = jnp.fft.rfft2(x32, axes=(1, 2), norm="ortho")  # (B, H, W//2+1, C) c64
+    fr, fi = rfft2_pair(x32, axes=(1, 2), norm="ortho")  # (B, H, W//2+1, C)
 
-    corner = xf[:, :kh, :kw, :]
-    cr = corner.real.reshape(B * kh * kw, nb, bs)
-    ci = corner.imag.reshape(B * kh * kw, nb, bs)
+    cr = fr[:, :kh, :kw, :].reshape(B * kh * kw, nb, bs)
+    ci = fi[:, :kh, :kw, :].reshape(B * kh * kw, nb, bs)
 
     o_re, o_im = afno_mode_mlp(cr, ci, w1, b1, w2, b2, act, compute_dtype)
 
-    o = jax.lax.complex(
-        o_re.astype(jnp.float32), o_im.astype(jnp.float32)
-    ).reshape(B, kh, kw, C)
+    o_re = o_re.astype(jnp.float32).reshape(B, kh, kw, C)
+    o_im = o_im.astype(jnp.float32).reshape(B, kh, kw, C)
     # scatter the corner back into an otherwise-zero spectrum
-    yf = jnp.pad(o, ((0, 0), (0, H - kh), (0, W // 2 + 1 - kw), (0, 0)))
-    y = jnp.fft.irfft2(yf, s=(H, W), axes=(1, 2), norm="ortho")
+    pad = ((0, 0), (0, H - kh), (0, W // 2 + 1 - kw), (0, 0))
+    y = irfft2_pair(
+        jnp.pad(o_re, pad), jnp.pad(o_im, pad), s=(H, W), axes=(1, 2),
+        norm="ortho",
+    )
     return (y + x32).astype(x.dtype)
 
 
@@ -143,22 +151,20 @@ def afno_filter_3d(
     kt = min(temporal_modes, L // 2 + 1)
 
     x32 = x.astype(jnp.float32)
-    xf = jnp.fft.rfftn(x32, axes=(1, 2, 3), norm="ortho")  # (B,H,W,L//2+1,C)
+    fr, fi = rfft3_pair(x32, axes=(1, 2, 3), norm="ortho")  # (B,H,W,L//2+1,C)
 
-    corner = xf[:, :kh, :kw, :kt, :]
-    cr = corner.real.reshape(B * kh * kw * kt, nb, bs)
-    ci = corner.imag.reshape(B * kh * kw * kt, nb, bs)
+    cr = fr[:, :kh, :kw, :kt, :].reshape(B * kh * kw * kt, nb, bs)
+    ci = fi[:, :kh, :kw, :kt, :].reshape(B * kh * kw * kt, nb, bs)
 
     o_re, o_im = afno_mode_mlp(cr, ci, w1, b1, w2, b2, act, compute_dtype)
 
-    o = jax.lax.complex(
-        o_re.astype(jnp.float32), o_im.astype(jnp.float32)
-    ).reshape(B, kh, kw, kt, C)
-    yf = jnp.pad(
-        o,
-        ((0, 0), (0, H - kh), (0, W - kw), (0, L // 2 + 1 - kt), (0, 0)),
+    o_re = o_re.astype(jnp.float32).reshape(B, kh, kw, kt, C)
+    o_im = o_im.astype(jnp.float32).reshape(B, kh, kw, kt, C)
+    pad = ((0, 0), (0, H - kh), (0, W - kw), (0, L // 2 + 1 - kt), (0, 0))
+    y = irfft3_pair(
+        jnp.pad(o_re, pad), jnp.pad(o_im, pad), s=(H, W, L), axes=(1, 2, 3),
+        norm="ortho",
     )
-    y = jnp.fft.irfftn(yf, s=(H, W, L), axes=(1, 2, 3), norm="ortho")
     return (y + x32).astype(x.dtype)
 
 
@@ -172,17 +178,21 @@ def spectral_resize(x: jax.Array, out_size: tuple[int, int]) -> jax.Array:
     """
     H, W = x.shape[-2], x.shape[-1]
     oh, ow = out_size
-    f = jnp.fft.rfft2(x.astype(jnp.float32), axes=(-2, -1), norm="backward")
+    fr, fi = rfft2_pair(x.astype(jnp.float32), axes=(-2, -1), norm="backward")
 
     top1 = min((H + 1) // 2, (oh + 1) // 2)
-    top2 = min(f.shape[-1], ow // 2 + 1)
+    top2 = min(fr.shape[-1], ow // 2 + 1)
     bot1 = min(H // 2, oh // 2)
 
-    fz = jnp.zeros((*x.shape[:-2], oh, ow // 2 + 1), dtype=f.dtype)
-    fz = fz.at[..., :top1, :top2].set(f[..., :top1, :top2])
-    fz = fz.at[..., oh - bot1 :, :top2].set(f[..., H - bot1 :, :top2])
+    def scatter(f):
+        fz = jnp.zeros((*x.shape[:-2], oh, ow // 2 + 1), dtype=f.dtype)
+        fz = fz.at[..., :top1, :top2].set(f[..., :top1, :top2])
+        fz = fz.at[..., oh - bot1 :, :top2].set(f[..., H - bot1 :, :top2])
+        return fz
 
-    y = jnp.fft.irfft2(fz, s=(oh, ow), axes=(-2, -1))
+    y = irfft2_pair(
+        scatter(fr), scatter(fi), s=(oh, ow), axes=(-2, -1), norm="backward"
+    )
     y = y * (oh / H) * (ow / W)
     return y.astype(x.dtype)
 
