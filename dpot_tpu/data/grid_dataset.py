@@ -21,7 +21,7 @@ from typing import Callable, Optional, Sequence
 
 import numpy as np
 
-from dpot_tpu.data.registry import DATASET_DICT, DatasetSpec
+from dpot_tpu.data.registry import DATASET_DICT, DatasetSpec, get_spec
 from dpot_tpu.data.resize import resize_linear_nd
 
 
@@ -99,7 +99,7 @@ class MixedTemporalDataset:
         data_weights: Optional[Sequence[int]] = None,
     ):
         self.data_names = [data_names] if isinstance(data_names, str) else list(data_names)
-        self.specs = [DATASET_DICT[n] for n in self.data_names]
+        self.specs = [get_spec(n) for n in self.data_names]
         self.data_weights = (
             list(data_weights) if data_weights is not None else [1] * len(self.specs)
         )
@@ -215,7 +215,7 @@ class TemporalDataset3D:
         n_channels: Optional[int] = None,
         train: bool = True,
     ):
-        self.spec = DATASET_DICT[data_name]
+        self.spec = get_spec(data_name)
         self.n_size = (
             n_train
             if n_train is not None

@@ -142,6 +142,15 @@ def make_synthetic_spec(
     return register_dataset(spec)
 
 
+def get_spec(name: str) -> DatasetSpec:
+    """Lookup with on-demand synthetic registration: any name starting with
+    'synthetic' resolves to an in-memory pseudo-dataset, so CLIs and smoke
+    runs work without a mounted corpus."""
+    if name not in DATASET_DICT and name.startswith("synthetic"):
+        return make_synthetic_spec(name)
+    return DATASET_DICT[name]
+
+
 def export_csv(path: str = "dataset_config.csv") -> None:
     """Dump the registry as CSV (parity with make_master_file.py:324)."""
     import csv

@@ -1,0 +1,159 @@
+"""Checkpointing: orbax full-train-state save/restore + component surgery.
+
+Capability parity with the reference's checkpoint utilities
+(utils/utilities.py:99-207) with one deliberate upgrade: the reference's
+torch.save({'args','model','optimizer'}) drops the scheduler state and epoch
+(train_temporal.py:287) so "resume" restarts schedules; here the full
+TrainState (params, opt state, step count, PRNG key) round-trips.
+
+Component surgery ports:
+- load_components_from_pretrained (utilities.py:112-166): selectively copy
+  patch_embed / pos / blocks / scale_feats / cls_head / time_agg / out
+  subtrees from a source param tree.
+- load_3d_components_from_2d (utilities.py:170-207): inflate 2D pointwise
+  weights into the 3D model (see dpot_tpu/train/interop.py for the axis
+  mapping).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+from dpot_tpu.train.state import TrainState
+
+
+def save_checkpoint(path: str, state: TrainState, config: Optional[dict] = None):
+    """Save full train state (params/opt/step/rng) + config json."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+        "rng": jax.device_get(jax.random.key_data(state.rng)),
+    }
+    if _HAS_ORBAX:
+        ckpt = ocp.StandardCheckpointer()
+        target = os.path.join(path, "state")
+        if os.path.exists(target):
+            import shutil
+
+            shutil.rmtree(target)
+        ckpt.save(target, payload)
+        ckpt.wait_until_finished()
+    else:  # flat-npz fallback
+        flat, treedef = jax.tree.flatten(payload)
+        np.savez(
+            os.path.join(path, "state.npz"),
+            *[np.asarray(x) for x in flat],
+            treedef=str(treedef),
+        )
+    if config is not None:
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump(config, f, indent=2, default=str)
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    """Restore into an existing (abstract-compatible) TrainState."""
+    path = os.path.abspath(path)
+    template = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+        "rng": jax.device_get(jax.random.key_data(state.rng)),
+    }
+    if _HAS_ORBAX and os.path.exists(os.path.join(path, "state")):
+        ckpt = ocp.StandardCheckpointer()
+        payload = ckpt.restore(os.path.join(path, "state"), template)
+    else:
+        data = np.load(os.path.join(path, "state.npz"), allow_pickle=True)
+        flat = [data[k] for k in data.files if k != "treedef"]
+        treedef = jax.tree.structure(template)
+        payload = jax.tree.unflatten(treedef, flat)
+    return state.replace(
+        params=payload["params"],
+        opt_state=payload["opt_state"],
+        step=jax.numpy.asarray(payload["step"]),
+        rng=jax.random.wrap_key_data(jax.numpy.asarray(payload["rng"])),
+    )
+
+
+def restore_params(path: str, params_template: Any) -> Any:
+    """Restore only params (for eval / fine-tune warm starts)."""
+    path = os.path.abspath(path)
+    if _HAS_ORBAX and os.path.exists(os.path.join(path, "state")):
+        ckpt = ocp.StandardCheckpointer()
+        # restore without a template -> raw saved pytree; take params
+        payload = ckpt.restore(os.path.join(path, "state"))
+        restored = payload["params"]
+        # re-impose the template treedef (orbax returns plain dicts)
+        treedef = jax.tree.structure(jax.device_get(params_template))
+        return jax.tree.unflatten(treedef, jax.tree.leaves(restored))
+    # fall back to full-state npz
+    data = np.load(os.path.join(path, "state.npz"), allow_pickle=True)
+    flat_template, treedef = jax.tree.flatten(jax.device_get(params_template))
+    flat = [data[k] for k in data.files if k != "treedef"]
+    # params leaves come first in the payload flattening order
+    return jax.tree.unflatten(treedef, flat[: len(flat_template)])
+
+
+# ---------------------------------------------------------------------------
+# component surgery (reference utils/utilities.py:112-166)
+# ---------------------------------------------------------------------------
+
+COMPONENT_PREFIXES = {
+    "blocks": ("blocks_",),
+    "pos": ("pos_embed",),
+    "patch_embed": ("patch_embed",),
+    "scale_feats": ("scale_feats_mu", "scale_feats_sigma"),
+    "cls_head": ("cls_head_",),
+    "time_agg": ("time_agg",),
+    "out": ("out_deconv", "out_conv1", "out_conv2"),
+}
+
+
+def load_components(
+    target_params: Any,
+    source_params: Any,
+    components: Sequence[str] = ("blocks", "pos", "time_agg"),
+) -> Any:
+    """Copy selected top-level components from source into target
+    (shape-matching leaves only), mirroring load_components_from_pretrained
+    (utilities.py:112-166; default component list finetune.py:103)."""
+    prefixes: tuple[str, ...] = ()
+    for c in components:
+        prefixes += COMPONENT_PREFIXES[c]
+
+    tgt = jax.device_get(target_params)
+    src = jax.device_get(source_params)
+
+    def top(d):
+        return d["params"] if isinstance(d, dict) and "params" in d else d
+
+    tgt_p, src_p = top(tgt), top(src)
+    copied = []
+    for key in list(tgt_p.keys()):
+        if not any(key.startswith(p) for p in prefixes):
+            continue
+        if key not in src_p:
+            continue
+        t_leaves, t_def = jax.tree.flatten(tgt_p[key])
+        s_leaves, s_def = jax.tree.flatten(src_p[key])
+        if t_def == s_def and all(
+            np.shape(a) == np.shape(b) for a, b in zip(t_leaves, s_leaves)
+        ):
+            tgt_p[key] = src_p[key]
+            copied.append(key)
+    return tgt, copied

@@ -1,0 +1,210 @@
+"""The pretraining loop — library form of reference train_temporal.py:100-292.
+
+One function `train(cfg)` drives: dataset mixture -> jitted DP train step
+(AR rollout, noise injection) -> per-dataset eval rollouts -> epoch logging
+with the reference's scalar names -> orbax checkpointing -> loss-explosion
+rollback (train_temporal.py:240-245).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpot_tpu.data import DataLoader, MixedTemporalDataset
+from dpot_tpu.models import build_model
+from dpot_tpu.parallel import make_mesh, replicate, shard_batch
+from dpot_tpu.train.checkpoint import (
+    load_components,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from dpot_tpu.train.optimizers import build_optimizer
+from dpot_tpu.train.schedules import build_schedule
+from dpot_tpu.train.state import TrainState
+from dpot_tpu.train.step import make_eval_rollout, make_train_step
+from dpot_tpu.utils.config import TrainConfig
+from dpot_tpu.utils.metrics_logging import MetricWriter
+
+
+def _fetch(x) -> float:
+    """Device->host scalar fetch that works on backends where rank-0
+    transfers are unimplemented (the tunneled TPU)."""
+    return float(np.asarray(jnp.reshape(x, (1, 1)))[0, 0])
+
+
+def build_everything(cfg: TrainConfig):
+    train_ds = MixedTemporalDataset(
+        cfg.train_paths, cfg.ntrain_list, res=cfg.res, t_in=cfg.T_in,
+        t_ar=cfg.T_ar, train=True, data_weights=cfg.data_weights,
+    )
+    test_dss = [
+        MixedTemporalDataset(
+            [p], res=cfg.res, n_channels=train_ds.n_channels, t_in=cfg.T_in,
+            t_ar=-1, train=False,
+        )
+        for p in cfg.test_paths
+    ]
+    train_dl = DataLoader(
+        train_ds, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers,
+        seed=cfg.seed,
+    )
+    test_dls = [
+        DataLoader(ds, cfg.batch_size, shuffle=False, num_workers=cfg.num_workers)
+        for ds in test_dss
+    ]
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = build_model(
+        cfg.model, img_size=cfg.res, patch_size=cfg.patch_size,
+        in_channels=train_ds.n_channels, in_timesteps=cfg.T_in,
+        out_timesteps=cfg.T_bundle, embed_dim=cfg.width, modes=cfg.modes,
+        depth=cfg.n_layers, n_blocks=cfg.n_blocks, mlp_ratio=cfg.mlp_ratio,
+        out_layer_dim=cfg.out_layer_dim, act=cfg.act, n_cls=len(cfg.train_paths),
+        normalize=cfg.normalize, dtype=dtype, remat=cfg.remat,
+    )
+
+    sched = build_schedule(
+        cfg.lr_method, cfg.lr, max(len(train_dl), 1), cfg.epochs,
+        warmup_epochs=cfg.warmup_epochs, step_size=cfg.step_size,
+        step_gamma=cfg.step_gamma, lr_step_size=cfg.lr_step_size,
+    )
+    tx = build_optimizer(
+        cfg.opt, sched, cfg.beta1, cfg.beta2, grad_clip=cfg.grad_clip,
+        weight_decay=cfg.weight_decay,
+    )
+
+    x0 = jnp.zeros(
+        (cfg.batch_size, cfg.res, cfg.res, cfg.T_in, train_ds.n_channels),
+        jnp.float32,
+    )
+    params = model.init(jax.random.key(cfg.seed), x0)
+    state = TrainState.create(model.apply, params, tx, jax.random.key(cfg.seed + 1))
+    return model, state, sched, train_dl, test_dls, train_ds
+
+
+def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
+    model, state, sched, train_dl, test_dls, train_ds = build_everything(cfg)
+
+    if log_dir is None and cfg.use_writer:
+        log_dir = os.path.join(
+            cfg.log_path or "./logs",
+            time.strftime("%m%d_%H_%M_%S") + cfg.comment,
+        )
+    writer = MetricWriter(log_dir)
+    ckpt_dir = os.path.join(log_dir, "model") if log_dir else None
+
+    if cfg.resume_path:
+        from dpot_tpu.train.checkpoint import restore_params
+
+        src = restore_params(cfg.resume_path, state.params)
+        state = state.replace(params=src)
+        writer.text(f"resumed params from {cfg.resume_path}")
+
+    mesh = make_mesh(data=cfg.mesh_data, spatial=cfg.mesh_spatial)
+    state = replicate(state, mesh)
+    step_fn = make_train_step(t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale)
+    roll_fn = make_eval_rollout(t_bundle=cfg.T_bundle)
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    writer.text(f"model {cfg.model} params {n_params/1e6:.2f}M devices {mesh.devices.size}")
+
+    ntrain = len(train_dl.dataset)
+    ntests = [len(dl.dataset) for dl in test_dls]
+    it = 0
+    loss_previous = np.inf
+    last_good = jax.device_get(state.params), jax.device_get(state.opt_state)
+    history = {}
+
+    for ep in range(cfg.epochs):
+        t1 = t_1 = time.perf_counter()
+        t_load = t_train = 0.0
+        train_l2_step = train_l2_full = 0.0
+        steps_per_sample = 1.0
+
+        for x, y, msk, cls in train_dl:
+            t_load += time.perf_counter() - t_1
+            t_1 = time.perf_counter()
+            batch = shard_batch(
+                {"x": x, "y": y, "msk": msk, "cls": cls}, mesh,
+                spatial_sharded=cfg.mesh_spatial > 1,
+            )
+            state, aux = step_fn(state, batch)
+            loss_v = _fetch(aux["loss_step"])
+            full_v = _fetch(aux["loss_full"])
+            steps_per_sample = y.shape[-2] / cfg.T_bundle
+            train_l2_step += loss_v
+            train_l2_full += full_v
+            it += 1
+            if writer.log_dir:
+                writer.scalar(
+                    "train_loss_step", loss_v / (x.shape[0] * steps_per_sample), it
+                )
+                writer.scalar("train_loss_full", full_v / x.shape[0], it)
+            # loss-explosion rollback (train_temporal.py:240-245)
+            if loss_v > 10 * loss_previous:
+                writer.text("loss explodes, restoring previous good state")
+                state = state.replace(
+                    params=replicate(last_good[0], mesh),
+                    opt_state=replicate(last_good[1], mesh),
+                )
+            loss_previous = loss_v
+            t_train += time.perf_counter() - t_1
+            t_1 = time.perf_counter()
+
+        # ---- eval ----
+        test_l2_steps, test_l2_fulls = [], []
+        host_params = state.params
+        for di, dl in enumerate(test_dls):
+            s_sum = f_sum = 0.0
+            for x, y, msk, _ in dl:
+                out = roll_fn(
+                    model.apply, host_params,
+                    shard_batch({"x": x, "y": y, "msk": msk}, mesh),
+                )
+                s_sum += _fetch(out["loss_step"])
+                f_sum += _fetch(out["loss_full"])
+            steps = max(y.shape[-2] / cfg.T_bundle, 1)
+            test_l2_steps.append(s_sum / ntests[di] / steps)
+            test_l2_fulls.append(f_sum / ntests[di])
+            if writer.log_dir:
+                writer.scalar(
+                    f"test_loss_step_{cfg.test_paths[di]}", test_l2_steps[-1], ep
+                )
+                writer.scalar(
+                    f"test_loss_full_{cfg.test_paths[di]}", test_l2_fulls[-1], ep
+                )
+
+        if ckpt_dir and (ep % cfg.save_every == 0 or ep == cfg.epochs - 1):
+            save_checkpoint(ckpt_dir, state, config=vars(cfg))
+        last_good = jax.device_get(state.params), jax.device_get(state.opt_state)
+
+        t_test = time.perf_counter() - t_1
+        lr_now = _fetch(sched(state.step)) if callable(sched) else sched
+        tls = train_l2_step / ntrain / steps_per_sample
+        tlf = train_l2_full / ntrain
+        writer.text(
+            "epoch {}, time {:.5f}, lr {:.2e}, train l2 step {:.5f} train l2 full {:.5f}, "
+            "test l2 step {} test l2 full {}, time train avg {:.5f} load avg {:.5f} test {:.5f}".format(
+                ep, time.perf_counter() - t1, lr_now, tls, tlf,
+                ", ".join(f"{v:.5f}" for v in test_l2_steps),
+                ", ".join(f"{v:.5f}" for v in test_l2_fulls),
+                t_train / max(len(train_dl), 1),
+                t_load / max(len(train_dl), 1), t_test,
+            )
+        )
+        history = {
+            "epoch": ep,
+            "train_l2_step": tls,
+            "train_l2_full": tlf,
+            "test_l2_steps": test_l2_steps,
+            "test_l2_fulls": test_l2_fulls,
+        }
+
+    writer.close()
+    return {"state": state, "model": model, **history}

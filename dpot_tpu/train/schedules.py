@@ -24,7 +24,7 @@ def onecycle(
     return optax.cosine_onecycle_schedule(
         transition_steps=total_steps,
         peak_value=max_lr,
-        pct_start=warmup_epochs / epochs,
+        pct_start=min(max(warmup_epochs / epochs, 0.0), 0.95),
         div_factor=div_factor,
         final_div_factor=final_div_factor,
     )

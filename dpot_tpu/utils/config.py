@@ -1,0 +1,145 @@
+"""Config system: one dataclass, YAML load, CLI override, sweep expansion.
+
+Replaces the reference's argparse-per-script (~40 flags,
+train_temporal.py:36-87) + YAML->CLI flattening in the sweep runners
+(trainer.py:40-59, grid expansion :86-111). Flag names are kept identical
+to the reference so configs translate 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import itertools
+from typing import Any, List, Optional, Sequence
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # model (train_temporal.py:48-60)
+    model: str = "DPOT"
+    width: int = 512
+    n_layers: int = 4
+    modes: int = 32
+    patch_size: int = 8
+    n_blocks: int = 4
+    mlp_ratio: float = 1.0
+    out_layer_dim: int = 32
+    act: str = "gelu"
+    normalize: bool = False
+    time_agg: str = "exp_mlp"
+
+    # data (train_temporal.py:39-47)
+    train_paths: List[str] = dataclasses.field(
+        default_factory=lambda: ["ns2d_fno_1e-5"]
+    )
+    test_paths: List[str] = dataclasses.field(default_factory=list)
+    ntrain_list: Optional[List[int]] = None
+    data_weights: List[int] = dataclasses.field(default_factory=lambda: [1])
+    res: int = 128
+    T_in: int = 10
+    T_ar: int = 1
+    T_bundle: int = 1
+    noise_scale: float = 0.0
+
+    # optimization (train_temporal.py:62-76)
+    opt: str = "adam"
+    lr: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: Optional[float] = None
+    lr_method: str = "cycle"
+    lr_step_size: int = 20
+    step_size: int = 100
+    step_gamma: float = 0.5
+    warmup_epochs: int = 5
+    grad_clip: float = 10000.0
+    batch_size: int = 8
+    epochs: int = 500
+
+    # runtime
+    seed: int = 0
+    num_workers: int = 8
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    remat: bool = False
+    mesh_data: Optional[int] = None  # None = all devices
+    mesh_spatial: int = 1
+
+    # logging / checkpoint (train_temporal.py:78-86)
+    comment: str = ""
+    log_path: str = ""
+    use_writer: bool = False
+    resume_path: str = ""
+    load_components: List[str] = dataclasses.field(
+        default_factory=lambda: ["blocks", "pos", "time_agg"]
+    )
+    save_every: int = 1
+
+    def __post_init__(self):
+        if isinstance(self.train_paths, str):
+            self.train_paths = [self.train_paths]
+        if isinstance(self.test_paths, str):
+            self.test_paths = [self.test_paths]
+        if not self.test_paths:
+            self.test_paths = list(self.train_paths)
+        if len(self.data_weights) == 1 and len(self.train_paths) > 1:
+            self.data_weights = [self.data_weights[0]] * len(self.train_paths)
+
+
+def _parser_for(cls) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", type=str, default=None)
+    for f in dataclasses.fields(cls):
+        name = f"--{f.name}"
+        default: Any = None  # None sentinel: "not passed on CLI"
+        if f.type in ("bool", bool):
+            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=default)
+        elif f.type in ("List[str]", "list[str]") or "List[str]" in str(f.type):
+            p.add_argument(name, type=str, nargs="+", default=default)
+        elif "List[int]" in str(f.type) or "Optional[List[int]]" in str(f.type):
+            p.add_argument(name, type=int, nargs="+", default=default)
+        elif "int" in str(f.type):
+            p.add_argument(name, type=int, default=default)
+        elif "float" in str(f.type):
+            p.add_argument(name, type=float, default=default)
+        else:
+            p.add_argument(name, type=str, default=default)
+    return p
+
+
+def load_config(
+    argv: Optional[Sequence[str]] = None, cls=TrainConfig
+):
+    """YAML (--config_file) < CLI flags, like the reference's
+    trainer.py flatten-YAML-to-CLI scheme but in one step."""
+    p = _parser_for(cls)
+    ns = p.parse_args(argv)
+    base: dict[str, Any] = {}
+    if ns.config_file:
+        import yaml
+
+        with open(ns.config_file) as f:
+            y = yaml.safe_load(f)
+        base.update({k: v for k, v in y.items() if k in {f.name for f in dataclasses.fields(cls)}})
+    for f in dataclasses.fields(cls):
+        v = getattr(ns, f.name)
+        if v is not None:
+            base[f.name] = v
+    return cls(**base)
+
+
+def expand_tasks(yaml_dict: dict) -> list[dict]:
+    """Expand a sweep config: any key under 'tasks' whose value is a list
+    becomes a grid axis (reference trainer.py:86-111 / README.md:76-88)."""
+    tasks = yaml_dict.get("tasks", {})
+    base = {k: v for k, v in yaml_dict.items() if k != "tasks"}
+    grid_keys = [k for k, v in tasks.items() if isinstance(v, list)]
+    fixed = {k: v for k, v in tasks.items() if not isinstance(v, list)}
+    out = []
+    for combo in itertools.product(*[tasks[k] for k in grid_keys]) or [()]:
+        job = dict(base)
+        job.update(fixed)
+        job.update(dict(zip(grid_keys, combo)))
+        out.append(job)
+    return out

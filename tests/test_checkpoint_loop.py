@@ -1,0 +1,113 @@
+"""Checkpoint round-trip (full train state incl. step/PRNG — the thing the
+reference loses, train_temporal.py:287) + end-to-end train loop smoke +
+component surgery."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpot_tpu.models.dpot import DPOTNet
+from dpot_tpu.train.checkpoint import (
+    load_components,
+    restore_checkpoint,
+    restore_params,
+    save_checkpoint,
+)
+from dpot_tpu.train.optimizers import build_optimizer
+from dpot_tpu.train.state import TrainState
+from dpot_tpu.train.step import make_train_step
+from dpot_tpu.utils.config import TrainConfig, expand_tasks
+from dpot_tpu.train.loop import train
+
+
+def small_state(seed=0):
+    model = DPOTNet(
+        img_size=16, patch_size=4, in_channels=1, out_channels=1,
+        in_timesteps=4, embed_dim=32, depth=1, n_blocks=4, modes=4, n_cls=2,
+    )
+    x = jnp.zeros((2, 16, 16, 4, 1))
+    params = model.init(jax.random.key(seed), x)
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+    return model, TrainState.create(model.apply, params, tx, jax.random.key(seed))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model, state = small_state()
+    batch = {
+        "x": jnp.ones((2, 16, 16, 4, 1)),
+        "y": jnp.ones((2, 16, 16, 1, 1)),
+        "msk": jnp.ones((2, 16, 16, 1, 1)),
+        "cls": jnp.zeros((2,), jnp.int32),
+    }
+    step = make_train_step(donate=False)
+    state, _ = step(state, batch)
+    state, _ = step(state, batch)
+    save_checkpoint(str(tmp_path / "ck"), state, config={"a": 1})
+
+    _, fresh = small_state(seed=7)
+    restored = restore_checkpoint(str(tmp_path / "ck"), fresh)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # PRNG continuity: next random draw identical
+    k1 = jax.random.normal(jax.random.split(state.rng)[1], (3,))
+    k2 = jax.random.normal(jax.random.split(restored.rng)[1], (3,))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+    # params-only restore
+    p = restore_params(str(tmp_path / "ck"), fresh.params)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(p)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+
+
+def test_component_surgery():
+    _, s1 = small_state(seed=0)
+    _, s2 = small_state(seed=9)
+    merged, copied = load_components(
+        s1.params, s2.params, components=("blocks", "pos", "time_agg")
+    )
+    assert any(k.startswith("blocks_") for k in copied)
+    assert "pos_embed" in copied
+    m = merged["params"]
+    s2p = jax.device_get(s2.params)["params"]
+    s1p = jax.device_get(s1.params)["params"]
+    np.testing.assert_array_equal(
+        np.asarray(m["pos_embed"]), np.asarray(s2p["pos_embed"])
+    )
+    # untouched component stays from target
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(m["out_conv1"])[0]),
+        np.asarray(jax.tree.leaves(s1p["out_conv1"])[0]),
+    )
+
+
+def test_train_loop_end_to_end(tmp_path):
+    cfg = TrainConfig(
+        model="DPOT", train_paths=["synthetic_loop"], res=16, patch_size=4,
+        width=32, n_layers=1, n_blocks=4, modes=4, T_in=6, epochs=1,
+        batch_size=8, num_workers=2, lr=1e-3, opt="adam", use_writer=True,
+        log_path=str(tmp_path),
+    )
+    out = train(cfg, log_dir=str(tmp_path / "run"))
+    assert np.isfinite(out["train_l2_step"])
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+    assert (tmp_path / "run" / "model").exists()
+
+
+def test_sweep_expansion():
+    y = {
+        "base": 1,
+        "tasks": {"lr": [1e-3, 1e-4], "model": ["DPOT", "FNO"], "epochs": 5},
+    }
+    jobs = expand_tasks(y)
+    assert len(jobs) == 4
+    assert all(j["epochs"] == 5 and j["base"] == 1 for j in jobs)
+    assert {(j["lr"], j["model"]) for j in jobs} == {
+        (1e-3, "DPOT"), (1e-3, "FNO"), (1e-4, "DPOT"), (1e-4, "FNO")
+    }
