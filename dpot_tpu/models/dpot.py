@@ -165,7 +165,7 @@ class TimeAggregator(nn.Module):
             x = x * t_embed
         elif self.time_agg != "mlp":
             raise ValueError(f"unknown time_agg {self.time_agg!r}")
-        return jnp.einsum("tij,bhwti->bhwj", w, x)
+        return jnp.einsum("tij,...ti->...j", w, x)
 
 
 class DPOTNet(nn.Module):

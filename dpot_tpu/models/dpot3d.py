@@ -1,0 +1,245 @@
+"""DPOTNet3D — 3D Denoising Operator Transformer, channels-last TPU layout.
+
+Capability parity with reference models/dpot3d.py:228-407 (DPOTNet3D),
+:180-226 (Block/PatchEmbed 3D), :22-97 (AFNO3D). Forward contract:
+  input  (B, X, Y, Z, T_in, C_in)
+  output (B, X, Y, Z, T_out, C_out)   — pred only, no cls output
+  (reference models/dpot3d.py:354-390; the cls_head exists as a parameter
+  but is not returned, matching :390).
+
+The AFNO3D mixer keeps [:modes, :modes, :temporal_modes] of the rfftn
+half-spectrum; temporal_modes is fixed at 8 in the reference Block
+(models/dpot3d.py:182 constructs AFNO3D without passing it).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dpot_tpu.ops.activations import get_activation
+from dpot_tpu.ops.initializers import (
+    scaled_uniform,
+    torch_bias,
+    torch_linear_weight,
+    trunc_normal,
+)
+from dpot_tpu.ops.norms import instance_stats
+from dpot_tpu.ops.spectral import afno_filter_3d
+from dpot_tpu.models.dpot import GroupNorm, TimeAggregator
+
+Dtype = Any
+
+
+class AFNO3D(nn.Module):
+    width: int
+    num_blocks: int = 8
+    modes: int = 32
+    temporal_modes: int = 8
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, X, Y, Z, C)
+        nb = self.num_blocks
+        bs = self.width // nb
+        assert self.width % nb == 0
+        scale = 1.0 / (bs * bs)
+        w1 = self.param("w1", scaled_uniform(scale), (2, nb, bs, bs))
+        b1 = self.param("b1", scaled_uniform(scale), (2, nb, bs))
+        w2 = self.param("w2", scaled_uniform(scale), (2, nb, bs, bs))
+        b2 = self.param("b2", scaled_uniform(scale), (2, nb, bs))
+        return afno_filter_3d(
+            x, w1, b1, w2, b2, self.modes, self.temporal_modes,
+            get_activation(self.act), compute_dtype=self.dtype,
+        )
+
+
+class Block3D(nn.Module):
+    width: int
+    num_blocks: int = 8
+    modes: int = 32
+    temporal_modes: int = 8
+    mlp_ratio: float = 1.0
+    double_skip: bool = False
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = get_activation(self.act)
+        hidden = int(self.width * self.mlp_ratio)
+        residual = x
+        x = GroupNorm(name="norm1")(x)
+        x = AFNO3D(
+            width=self.width, num_blocks=self.num_blocks, modes=self.modes,
+            temporal_modes=self.temporal_modes, act=self.act,
+            dtype=self.dtype, name="filter",
+        )(x)
+        if self.double_skip:
+            x = x + residual
+            residual = x
+        x = GroupNorm(name="norm2")(x)
+        x = nn.Dense(
+            hidden, kernel_init=torch_linear_weight(),
+            bias_init=torch_bias(self.width), dtype=self.dtype, name="mlp_fc1",
+        )(x)
+        x = act(x)
+        x = nn.Dense(
+            self.width, kernel_init=torch_linear_weight(),
+            bias_init=torch_bias(hidden), dtype=self.dtype, name="mlp_fc2",
+        )(x)
+        return x + residual
+
+
+class PatchEmbed3D(nn.Module):
+    patch_size: int
+    embed_dim: int
+    out_dim: int
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (N, X, Y, Z, C_in)
+        p = self.patch_size
+        c_in = x.shape[-1]
+        x = nn.Conv(
+            self.embed_dim, kernel_size=(p, p, p), strides=(p, p, p),
+            padding="VALID", kernel_init=torch_linear_weight(),
+            bias_init=torch_bias(c_in * p**3), dtype=self.dtype, name="proj1",
+        )(x)
+        x = get_activation(self.act)(x)
+        x = nn.Conv(
+            self.out_dim, kernel_size=(1, 1, 1),
+            kernel_init=torch_linear_weight(), bias_init=torch_bias(self.embed_dim),
+            dtype=self.dtype, name="proj2",
+        )(x)
+        return x
+
+
+class DPOTNet3D(nn.Module):
+    img_size: int = 64
+    patch_size: int = 8
+    in_channels: int = 1
+    out_channels: int = 4
+    in_timesteps: int = 1
+    out_timesteps: int = 1
+    n_blocks: int = 4
+    embed_dim: int = 768
+    out_layer_dim: int = 32
+    depth: int = 12
+    modes: int = 32
+    temporal_modes: int = 8
+    mlp_ratio: float = 1.0
+    n_cls: int = 1
+    normalize: bool = False
+    act: str = "gelu"
+    time_agg: str = "exp_mlp"
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # (B, X, Y, Z, T, C)
+        B, H, W, L, T, C = x.shape
+        assert H == self.img_size and W == self.img_size and L == self.img_size
+        act = get_activation(self.act)
+        p = self.patch_size
+        hl = H // p
+
+        if self.normalize:
+            mu, sigma = instance_stats(x, axes=(1, 2, 3, 4))  # (B,1,1,1,1,C)
+            x = (x - mu) / sigma
+            stats = jnp.concatenate([mu, sigma], axis=-1)[:, 0, 0, 0, 0, :]
+            scale_mu = nn.Dense(
+                self.embed_dim, kernel_init=torch_linear_weight(),
+                bias_init=torch_bias(2 * self.in_channels), name="scale_feats_mu",
+            )(stats)[:, None, None, None, :]
+            scale_sigma = nn.Dense(
+                self.embed_dim, kernel_init=torch_linear_weight(),
+                bias_init=torch_bias(2 * self.in_channels), name="scale_feats_sigma",
+            )(stats)[:, None, None, None, :]
+
+        # 4D coordinate grid (x,y,z,t) — reference get_grid_4d
+        # (models/dpot3d.py:338-350)
+        def axgrid(n, axis):
+            shape = [1] * 6
+            shape[axis] = n
+            return jnp.broadcast_to(
+                jnp.linspace(0, 1, n, dtype=x.dtype).reshape(shape),
+                (B, H, W, L, T, 1),
+            )
+
+        grid = jnp.concatenate(
+            [axgrid(H, 1), axgrid(W, 2), axgrid(L, 3), axgrid(T, 4)], axis=-1
+        )
+        x = jnp.concatenate([x, grid], axis=-1)  # (B,X,Y,Z,T,C+4)
+
+        x = jnp.transpose(x, (0, 4, 1, 2, 3, 5)).reshape(B * T, H, W, L, C + 4)
+        x = PatchEmbed3D(
+            patch_size=p, embed_dim=self.out_channels * p + 4,
+            out_dim=self.embed_dim, act=self.act, dtype=self.dtype,
+            name="patch_embed",
+        )(x)  # (B*T, h, h, h, D)
+
+        pos_embed = self.param(
+            "pos_embed", trunc_normal(0.02), (1, hl, hl, hl, self.embed_dim)
+        )
+        x = x + pos_embed
+
+        x = x.reshape(B, T, hl, hl, hl, self.embed_dim).transpose(0, 2, 3, 4, 1, 5)
+        x = TimeAggregator(
+            n_timesteps=self.in_timesteps, out_channels=self.embed_dim,
+            time_agg=self.time_agg, name="time_agg",
+        )(x)  # (B, h, h, h, D)
+
+        if self.normalize:
+            x = scale_sigma * x + scale_mu
+
+        block = Block3D
+        if self.remat:
+            block = nn.remat(Block3D)
+        for i in range(self.depth):
+            x = block(
+                width=self.embed_dim, num_blocks=self.n_blocks,
+                modes=self.modes, temporal_modes=self.temporal_modes,
+                mlp_ratio=self.mlp_ratio, double_skip=False, act=self.act,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )(x)
+
+        # cls_head exists for checkpoint parity but is not an output
+        # (reference models/dpot3d.py:289-295,390)
+        ct = jnp.mean(x, axis=(1, 2, 3))
+        for j, feats in enumerate([self.embed_dim, self.embed_dim, self.n_cls]):
+            ct = nn.Dense(
+                feats, kernel_init=torch_linear_weight(),
+                bias_init=torch_bias(self.embed_dim), name=f"cls_head_{j}",
+            )(ct)
+            if j < 2:
+                ct = act(ct)
+
+        x = nn.ConvTranspose(
+            self.out_layer_dim, kernel_size=(p, p, p), strides=(p, p, p),
+            padding="VALID",
+            kernel_init=torch_linear_weight(fan_in=self.embed_dim * p**3),
+            bias_init=torch_bias(self.embed_dim), dtype=self.dtype,
+            name="out_deconv",
+        )(x)
+        x = act(x)
+        x = nn.Conv(
+            self.out_layer_dim, kernel_size=(1, 1, 1),
+            kernel_init=torch_linear_weight(), bias_init=torch_bias(self.out_layer_dim),
+            dtype=self.dtype, name="out_conv1",
+        )(x)
+        x = act(x)
+        x = nn.Conv(
+            self.out_channels * self.out_timesteps, kernel_size=(1, 1, 1),
+            kernel_init=torch_linear_weight(), bias_init=torch_bias(self.out_layer_dim),
+            dtype=self.dtype, name="out_conv2",
+        )(x)
+
+        x = x.reshape(B, H, W, L, self.out_timesteps, self.out_channels)
+        if self.normalize:
+            x = x * sigma + mu
+        return x.astype(jnp.float32)

@@ -84,15 +84,32 @@ def build_model(
             normalize=normalize,
             act=act,
         )
+    if model in ("FNO3D", "fno3d"):
+        from dpot_tpu.models.fno import FNO3d
+
+        return FNO3d(
+            img_size=img_size,
+            n_channels=in_channels,
+            in_timesteps=in_timesteps,
+            out_timesteps=out_timesteps,
+            modes1=modes,
+            modes2=modes,
+            modes3=modes,
+            width=kwargs.get("embed_dim", 768),
+            n_layers=kwargs.get("depth", 4),
+            n_cls=n_cls,
+            normalize=normalize,
+        )
     if model in ("UNet", "unet"):
         from dpot_tpu.models.unet import UNet
 
         return UNet(
-            in_channels=in_channels * in_timesteps,
-            out_channels=out_channels * out_timesteps,
+            in_channels=in_channels,
+            out_channels=out_channels,
             out_timesteps=out_timesteps,
+            width=kwargs.get("out_layer_dim", 32),
             n_cls=n_cls,
-            dim=2,
+            n_dim=2,
         )
     if model in ("CDPOT", "cdpot"):
         from dpot_tpu.models.cdpot import CDPOTNet

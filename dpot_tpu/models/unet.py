@@ -1,0 +1,170 @@
+"""Dimension-generic UNet baseline (1/2/3D), channels-last.
+
+Capability parity with reference models/unet.py:372-564: 4-level
+encoder/decoder with double-conv blocks (conv3-BN-act twice), max-pool 2,
+transpose-conv upsampling with skip concats, right-padding every spatial
+axis to a multiple of 16, coordinate-grid input channels (grid first, data
+second — unet.py:474), 1x1 output conv, zeros cls output (unet.py:534).
+
+Design deviation (documented): BatchNorm runs in batch-statistics mode
+(flax use_running_average=False) so the model stays a pure function —
+running averages are not tracked. Training semantics match; eval uses
+batch stats instead of running stats.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpot_tpu.ops.activations import get_activation
+from dpot_tpu.ops.initializers import torch_bias, torch_linear_weight
+
+Dtype = Any
+
+
+class _BatchStatNorm(nn.Module):
+    """BatchNorm in batch-statistics mode, stateless (no running averages):
+    normalize over (batch, spatial) per channel with learnable affine."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        axes = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+        xn = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (xn * scale + bias).astype(x.dtype)
+
+
+class _DoubleConv(nn.Module):
+    features: int
+    n_dim: int
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = get_activation(self.act)
+        k = (3,) * self.n_dim
+        for i in (1, 2):
+            x = nn.Conv(
+                self.features, kernel_size=k, padding="SAME", use_bias=False,
+                kernel_init=torch_linear_weight(), dtype=self.dtype,
+                name=f"conv{i}",
+            )(x)
+            x = _BatchStatNorm(name=f"norm{i}")(x)
+            x = act(x)
+        return x
+
+
+def _maxpool(x, n_dim):
+    window = (1,) + (2,) * n_dim + (1,)
+    return nn.max_pool(x, window_shape=(2,) * n_dim, strides=(2,) * n_dim)
+
+
+class UNet(nn.Module):
+    in_channels: int = 30  # already includes in_timesteps folding
+    out_channels: int = 1
+    out_timesteps: int = 1
+    width: int = 32
+    n_dim: int = 2
+    act: str = "gelu"
+    n_cls: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, spatial..., T, C)
+        n_dim = self.n_dim
+        B = x.shape[0]
+        spatial = x.shape[1:-2]
+        T, C = x.shape[-2], x.shape[-1]
+        act = get_activation(self.act)
+
+        # fold time into channels + coordinate grid FIRST (unet.py:474)
+        x = x.reshape(B, *spatial, T * C)
+        grids = []
+        for ax, n in enumerate(spatial):
+            shape = [1] * (len(spatial) + 2)
+            shape[ax + 1] = n
+            grids.append(
+                jnp.broadcast_to(
+                    jnp.linspace(0, 1, n, dtype=x.dtype).reshape(shape),
+                    (B, *spatial, 1),
+                )
+            )
+        x = jnp.concatenate(grids + [x], axis=-1)
+
+        # pad every spatial axis up to a multiple of 16 (unet.py:392,489-495)
+        pads = [(0, 0)]
+        padded = []
+        for n in spatial:
+            p = int(np.ceil(n / 16) * 16 - n)
+            pads.append((0, p))
+            padded.append(n + p)
+        pads.append((0, 0))
+        x = jnp.pad(x, pads)
+
+        f = self.width
+        enc1 = _DoubleConv(f, n_dim, self.act, self.dtype, name="enc1")(x)
+        enc2 = _DoubleConv(f * 2, n_dim, self.act, self.dtype, name="enc2")(
+            _maxpool(enc1, n_dim)
+        )
+        enc3 = _DoubleConv(f * 4, n_dim, self.act, self.dtype, name="enc3")(
+            _maxpool(enc2, n_dim)
+        )
+        enc4 = _DoubleConv(f * 8, n_dim, self.act, self.dtype, name="enc4")(
+            _maxpool(enc3, n_dim)
+        )
+        bott = _DoubleConv(f * 16, n_dim, self.act, self.dtype, name="bottleneck")(
+            _maxpool(enc4, n_dim)
+        )
+
+        def up(z, feats, name):
+            return nn.ConvTranspose(
+                feats, kernel_size=(2,) * n_dim, strides=(2,) * n_dim,
+                padding="VALID", kernel_init=torch_linear_weight(),
+                bias_init=torch_bias(feats * 2**n_dim), dtype=self.dtype,
+                name=name,
+            )(z)
+
+        d = up(bott, f * 8, "upconv4")
+        d = _DoubleConv(f * 8, n_dim, self.act, self.dtype, name="dec4")(
+            jnp.concatenate([d, enc4], axis=-1)
+        )
+        d = up(d, f * 4, "upconv3")
+        d = _DoubleConv(f * 4, n_dim, self.act, self.dtype, name="dec3")(
+            jnp.concatenate([d, enc3], axis=-1)
+        )
+        d = up(d, f * 2, "upconv2")
+        d = _DoubleConv(f * 2, n_dim, self.act, self.dtype, name="dec2")(
+            jnp.concatenate([d, enc2], axis=-1)
+        )
+        d = up(d, f, "upconv1")
+        d = _DoubleConv(f, n_dim, self.act, self.dtype, name="dec1")(
+            jnp.concatenate([d, enc1], axis=-1)
+        )
+
+        # crop the padding back off
+        crop = tuple(
+            slice(0, n) for n in spatial
+        )
+        d = d[(slice(None), *crop, slice(None))]
+
+        out = nn.Conv(
+            self.out_timesteps * self.out_channels, kernel_size=(1,) * n_dim,
+            kernel_init=torch_linear_weight(), bias_init=torch_bias(f),
+            dtype=self.dtype, name="out_conv",
+        )(d)
+        out = out.reshape(B, *spatial, self.out_timesteps, self.out_channels)
+        cls = jnp.zeros((B, self.n_cls), jnp.float32)
+        return out.astype(jnp.float32), cls
