@@ -1,0 +1,199 @@
+"""PyTorch checkpoint interop: reference/HF .pth state dicts -> dpot_tpu params.
+
+Converts the released DPOT weights (https://huggingface.co/hzk17/DPOT,
+reference README.md:28-31) and any reference-format state dict
+(torch.save({'args','model','optimizer'}, ...), train_temporal.py:287) into
+this framework's flax param trees:
+
+- 'module.' DDP prefixes stripped (reference utilities.py:99-109),
+- conv kernels OIHW -> HWIO, linear weights (out,in) -> (in,out),
+- ConvTranspose2d (in,out,kh,kw) -> flax (kh,kw,in,out) with spatial flip
+  (flax ConvTranspose cross-correlates the kernel; torch's transposed conv
+  applies it un-flipped — verified by tests/test_interop.py),
+- pos_embed NCHW -> NHWC,
+- AFNO w1/b1/w2/b2 copied as-is (layouts match by construction),
+- pos-embed resolution adaptation via bilinear resize
+  (port of models/dpot.py:424-441 resize_pos_embed),
+- 2D -> 3D component inflation (utilities.py:170-207) — trivial here
+  because 1x1 convs are Dense layers with identical shapes in 2D and 3D.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import numpy as np
+
+from dpot_tpu.data.resize import resize_linear_nd
+
+
+def _np(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def strip_module_prefix(sd: Mapping[str, Any]) -> dict[str, Any]:
+    if next(iter(sd)).startswith("module."):
+        return {k[len("module."):]: v for k, v in sd.items()}
+    return dict(sd)
+
+
+def _linear(sd, prefix):
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _conv(sd, prefix):
+    w = _np(sd[f"{prefix}.weight"])  # (O, I, kh, kw) or (O, I, k, k, k)
+    nd = w.ndim - 2
+    kernel = np.transpose(w, tuple(range(2, 2 + nd)) + (1, 0))  # HWIO
+    out = {"kernel": kernel}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _conv_transpose(sd, prefix):
+    w = _np(sd[f"{prefix}.weight"])  # (I, O, kh, kw[, kz])
+    nd = w.ndim - 2
+    # flax ConvTranspose cross-correlates: flip spatial dims, then (k..., I, O)
+    w = np.flip(w, axis=tuple(range(2, 2 + nd)))
+    kernel = np.transpose(w, tuple(range(2, 2 + nd)) + (0, 1))
+    out = {"kernel": kernel}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _groupnorm(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def resize_pos_embed_nhwc(pos: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear pos-embed resolution adaptation (port of reference
+    resize_pos_embed, models/dpot.py:424-441, on NHWC)."""
+    if pos.shape[1] == h and pos.shape[2] == w:
+        return pos
+    return resize_linear_nd(pos[0], (h, w))[None]
+
+
+def dpot_params_from_torch(
+    sd: Mapping[str, Any],
+    depth: int,
+    normalize: bool = False,
+    latent_size: tuple[int, int] | None = None,
+) -> dict:
+    """Reference DPOTNet state dict -> dpot_tpu DPOTNet params['params']."""
+    sd = strip_module_prefix(sd)
+    p: dict[str, Any] = {}
+
+    p["patch_embed"] = {
+        "proj1": _conv(sd, "patch_embed.proj.0"),
+        "proj2": _conv(sd, "patch_embed.proj.2"),
+    }
+    pos = _np(sd["pos_embed"])  # (1, D, h, w)
+    pos = np.transpose(pos, (0, 2, 3, 1))
+    if latent_size is not None:
+        pos = resize_pos_embed_nhwc(pos, *latent_size)
+    p["pos_embed"] = pos
+
+    ta = {"w": _np(sd["time_agg_layer.w"])}
+    if "time_agg_layer.gamma" in sd:
+        ta["gamma"] = _np(sd["time_agg_layer.gamma"])
+    p["time_agg"] = ta
+
+    if normalize and "scale_feats_mu.weight" in sd:
+        p["scale_feats_mu"] = _linear(sd, "scale_feats_mu")
+        p["scale_feats_sigma"] = _linear(sd, "scale_feats_sigma")
+
+    for i in range(depth):
+        b = f"blocks.{i}"
+        p[f"blocks_{i}"] = {
+            "norm1": _groupnorm(sd, f"{b}.norm1"),
+            "norm2": _groupnorm(sd, f"{b}.norm2"),
+            "filter": {
+                "w1": _np(sd[f"{b}.filter.w1"]),
+                "b1": _np(sd[f"{b}.filter.b1"]),
+                "w2": _np(sd[f"{b}.filter.w2"]),
+                "b2": _np(sd[f"{b}.filter.b2"]),
+            },
+            # 1x1 Conv2d (O, I, 1, 1) -> Dense (I, O)
+            "mlp_fc1": {
+                "kernel": _np(sd[f"{b}.mlp.0.weight"])[:, :, 0, 0].T,
+                "bias": _np(sd[f"{b}.mlp.0.bias"]),
+            },
+            "mlp_fc2": {
+                "kernel": _np(sd[f"{b}.mlp.2.weight"])[:, :, 0, 0].T,
+                "bias": _np(sd[f"{b}.mlp.2.bias"]),
+            },
+        }
+
+    for j, src in enumerate([0, 2, 4]):
+        p[f"cls_head_{j}"] = _linear(sd, f"cls_head.{src}")
+
+    p["out_deconv"] = _conv_transpose(sd, "out_layer.0")
+    p["out_conv1"] = _conv(sd, "out_layer.2")
+    p["out_conv2"] = _conv(sd, "out_layer.4")
+
+    return {"params": p}
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a reference .pth checkpoint ({'args','model','optimizer'} or a
+    bare state dict) into a plain numpy state dict."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj["model"] if isinstance(obj, dict) and "model" in obj else obj
+    return {k: _np(v) for k, v in strip_module_prefix(sd).items()}
+
+
+def inflate_2d_to_3d(
+    params3d: dict,
+    params2d: dict,
+    components: Sequence[str] = ("blocks", "time_agg"),
+) -> tuple[dict, list[str]]:
+    """2D -> 3D weight inflation (reference load_3d_components_from_2d,
+    utilities.py:170-207). The reference unsqueezes 1x1 conv kernels to
+    1x1x1; in this framework both are Dense layers with identical shapes,
+    and the AFNO w1/b1/w2/b2 layouts match, so inflation is a filtered
+    copy of matching-shape leaves inside the selected components."""
+    import jax
+
+    t = jax.device_get(params3d)
+    s = jax.device_get(params2d)
+    tp = t["params"] if "params" in t else t
+    sp = s["params"] if "params" in s else s
+    copied = []
+    prefixes = []
+    for c in components:
+        if c == "blocks":
+            prefixes.append("blocks_")
+        elif c == "time_agg":
+            prefixes.append("time_agg")
+        else:
+            prefixes.append(c)
+    for key in tp:
+        if not any(key.startswith(pfx) for pfx in prefixes):
+            continue
+        if key not in sp:
+            continue
+
+        def merge(dst, src, path):
+            out = {}
+            for k in dst:
+                if isinstance(dst[k], dict):
+                    out[k] = merge(dst[k], src.get(k, {}), f"{path}/{k}")
+                elif k in src and np.shape(src[k]) == np.shape(dst[k]):
+                    out[k] = src[k]
+                    copied.append(f"{path}/{k}")
+                else:
+                    out[k] = dst[k]
+            return out
+
+        tp[key] = merge(tp[key], sp[key], key)
+    return t, copied
