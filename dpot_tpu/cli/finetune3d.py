@@ -1,0 +1,145 @@
+"""3D fine-tuning CLI — reference finetune3d.py equivalent.
+
+Trains DPOTNet3D on a 3D dataset (TemporalDataset3D), optionally
+bootstrapping from a 2D pretrain checkpoint via the 2D->3D weight
+inflation (finetune3d.py:132-136 -> utilities.py:170-207).
+
+    python -m dpot_tpu.cli.finetune3d --train_paths ns3d_pdb_M1_turb \
+        --res 64 --resume_path <2d ckpt or .pth> --epochs 100
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv=None):
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dpot_tpu.data import DataLoader, TemporalDataset3D
+    from dpot_tpu.models import build_model
+    from dpot_tpu.parallel import make_mesh, replicate, shard_batch
+    from dpot_tpu.train.interop import inflate_2d_to_3d
+    from dpot_tpu.train.optimizers import build_optimizer
+    from dpot_tpu.train.schedules import build_schedule
+    from dpot_tpu.train.state import TrainState
+    from dpot_tpu.train.step import (
+        make_eval_rollout,
+        make_train_step,
+        wrap_pred_only,
+    )
+    from dpot_tpu.train.checkpoint import save_checkpoint
+    from dpot_tpu.utils.config import load_config
+
+    cfg = load_config(argv)
+    print("config", vars(cfg))
+    name = cfg.train_paths[0]
+
+    train_ds = TemporalDataset3D(
+        name, res=cfg.res, t_in=cfg.T_in, t_ar=cfg.T_ar, train=True
+    )
+    test_ds = TemporalDataset3D(
+        name, res=cfg.res, t_in=cfg.T_in, t_ar=-1, train=False
+    )
+    train_dl = DataLoader(
+        train_ds, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers,
+        seed=cfg.seed,
+    )
+    test_dl = DataLoader(
+        test_ds, cfg.batch_size, shuffle=False, num_workers=cfg.num_workers
+    )
+
+    model = build_model(
+        "DPOT3D", img_size=cfg.res, patch_size=cfg.patch_size,
+        in_channels=train_ds.n_channels, in_timesteps=cfg.T_in,
+        out_timesteps=cfg.T_bundle, embed_dim=cfg.width, modes=cfg.modes,
+        depth=cfg.n_layers, n_blocks=cfg.n_blocks, mlp_ratio=cfg.mlp_ratio,
+        out_layer_dim=cfg.out_layer_dim, act=cfg.act, n_cls=1,
+        normalize=cfg.normalize,
+        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+        remat=cfg.remat,
+    )
+    x0 = jnp.zeros(
+        (cfg.batch_size, cfg.res, cfg.res, cfg.res, cfg.T_in, train_ds.n_channels)
+    )
+    params = model.init(jax.random.key(cfg.seed), x0)
+
+    if cfg.resume_path:
+        # 2D pretrain -> 3D inflation
+        from dpot_tpu.models import build_model as bm
+
+        model2d = bm(
+            "DPOT", img_size=128, patch_size=cfg.patch_size,
+            in_channels=4, in_timesteps=cfg.T_in, embed_dim=cfg.width,
+            modes=cfg.modes, depth=cfg.n_layers, n_blocks=cfg.n_blocks,
+            mlp_ratio=cfg.mlp_ratio, out_layer_dim=cfg.out_layer_dim,
+        )
+        if cfg.resume_path.endswith((".pth", ".pt")):
+            from dpot_tpu.train.interop import (
+                dpot_params_from_torch,
+                load_torch_checkpoint,
+            )
+
+            sd = load_torch_checkpoint(cfg.resume_path)
+            p2d = dpot_params_from_torch(sd, depth=cfg.n_layers)
+        else:
+            from dpot_tpu.train.checkpoint import restore_params
+
+            p2d0 = model2d.init(
+                jax.random.key(0), jnp.zeros((1, 128, 128, cfg.T_in, 4))
+            )
+            p2d = restore_params(cfg.resume_path, p2d0)
+        params, copied = inflate_2d_to_3d(
+            params, p2d, components=("blocks", "time_agg")
+        )
+        params = jax.tree.map(jnp.asarray, params)
+        print(f"inflated {len(copied)} 2D leaves into the 3D model")
+
+    sched = build_schedule(
+        cfg.lr_method, cfg.lr, max(len(train_dl), 1), cfg.epochs,
+        warmup_epochs=cfg.warmup_epochs,
+    )
+    tx = build_optimizer(
+        cfg.opt, sched, cfg.beta1, cfg.beta2, grad_clip=cfg.grad_clip,
+        weight_decay=cfg.weight_decay,
+    )
+    apply3d = wrap_pred_only(model.apply)
+    state = TrainState.create(apply3d, params, tx, jax.random.key(cfg.seed + 1))
+    mesh = make_mesh(data=cfg.mesh_data, spatial=cfg.mesh_spatial)
+    state = replicate(state, mesh)
+    step = make_train_step(t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale)
+    roll = make_eval_rollout(t_bundle=cfg.T_bundle)
+
+    def fetch(a):
+        return float(np.asarray(jnp.reshape(a, (1, 1)))[0, 0])
+
+    for ep in range(cfg.epochs):
+        t0 = time.perf_counter()
+        tr = 0.0
+        for x, y, msk, cls in train_dl:
+            batch = shard_batch(
+                {"x": x, "y": y, "msk": msk, "cls": np.zeros(x.shape[0], np.int32)},
+                mesh,
+            )
+            state, aux = step(state, batch)
+            tr += fetch(aux["loss_step"])
+        te = 0.0
+        for x, y, msk, _ in test_dl:
+            out = roll(apply3d, state.params,
+                       shard_batch({"x": x, "y": y, "msk": msk}, mesh))
+            te += fetch(out["loss_full"])
+        print(
+            f"epoch {ep}, time {time.perf_counter()-t0:.3f}, "
+            f"train l2 {tr/len(train_ds):.5f} test l2 full {te/len(test_ds):.5f}"
+        )
+        if cfg.use_writer and cfg.log_path:
+            save_checkpoint(cfg.log_path, state, config=vars(cfg))
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -50,10 +50,19 @@ def batch_spec(ndim: int, spatial_sharded: bool = False) -> P:
 
 
 def shard_batch(batch: dict, mesh: Mesh, spatial_sharded: bool = False) -> dict:
-    """Place a host batch dict onto the mesh, batch-sharded over 'data'."""
+    """Place a host batch dict onto the mesh, batch-sharded over 'data'.
+
+    Falls back to replicated placement for arrays whose leading dim does not
+    divide the 'data' axis (e.g. a trailing partial batch) — correctness is
+    preserved, only that batch loses its DP split.
+    """
+    n_data = mesh.shape["data"]
     out = {}
     for k, v in batch.items():
-        spec = batch_spec(np.ndim(v), spatial_sharded) if np.ndim(v) > 0 else P()
+        if np.ndim(v) > 0 and np.shape(v)[0] % n_data == 0:
+            spec = batch_spec(np.ndim(v), spatial_sharded)
+        else:
+            spec = P()
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
 

@@ -1,0 +1,142 @@
+"""Evaluation harnesses — library form of reference evaluate.py and
+evaluate_varyingres.py.
+
+- evaluate(): no-grad full-trajectory rollout over each test dataset,
+  reporting per-dataset step/full relative-L2 and average per-step latency
+  (evaluate.py:183-222).
+- evaluate_varying_resolution(): the cross-resolution transfer sweep —
+  spectrally resize inputs/preds between the test resolution and the model
+  resolution each rollout step and refill the mask
+  (evaluate_varyingres.py:198-256), res in arange(32, 128, 9).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpot_tpu.data import DataLoader, MixedTemporalDataset
+from dpot_tpu.ops.spectral import resize_temporal
+from dpot_tpu.train.step import make_eval_rollout
+from dpot_tpu.utils.criterion import rel_lp_loss
+
+
+def _fetch(x) -> float:
+    return float(np.asarray(jnp.reshape(x, (1, 1)))[0, 0])
+
+
+def evaluate(
+    model,
+    params,
+    test_paths: Sequence[str],
+    res: int = 128,
+    t_in: int = 10,
+    t_bundle: int = 1,
+    batch_size: int = 8,
+    n_channels: int | None = None,
+    num_workers: int = 8,
+) -> dict:
+    """Full-rollout eval; returns per-dataset losses + avg step time."""
+    roll = make_eval_rollout(t_bundle=t_bundle)
+    results = {}
+    total_time, total_steps = 0.0, 0
+    for path in test_paths:
+        ds = MixedTemporalDataset(
+            [path], res=res, t_in=t_in, t_ar=-1, n_channels=n_channels,
+            train=False,
+        )
+        dl = DataLoader(ds, batch_size, shuffle=False, num_workers=num_workers)
+        s_sum = f_sum = 0.0
+        n_steps_per_traj = 1.0
+        for x, y, msk, _ in dl:
+            batch = {
+                "x": jnp.asarray(x), "y": jnp.asarray(y), "msk": jnp.asarray(msk)
+            }
+            t0 = time.perf_counter()
+            out = roll(model.apply, params, batch)
+            f_val = _fetch(out["loss_full"])  # fences the device
+            total_time += time.perf_counter() - t0
+            n_steps_per_traj = max(y.shape[-2] / t_bundle, 1)
+            total_steps += int(x.shape[0] * n_steps_per_traj)
+            s_sum += _fetch(out["loss_step"])
+            f_sum += f_val
+        results[path] = {
+            "loss_step": s_sum / len(ds) / n_steps_per_traj,
+            "loss_full": f_sum / len(ds),
+        }
+    results["avg_step_time"] = total_time / max(total_steps, 1)
+    return results
+
+
+def refill_mask(msk: jax.Array, res: int) -> jax.Array:
+    """Rebuild the resolution mask at a new res: channels with any mask
+    weight become all-ones (evaluate_varyingres.py:198-201)."""
+    nonzero = (jnp.sum(msk, axis=(1, 2, 3)) > 0)[:, None, None, None, :]
+    shape = (msk.shape[0], res, res, 1, msk.shape[-1])
+    return jnp.where(nonzero, jnp.ones(shape), jnp.zeros(shape))
+
+
+def make_varyres_rollout(model_res: int, t_bundle: int = 1):
+    """Jitted one-step: resize to model res -> model -> resize back."""
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def step(apply_fn, params, x, res):
+        x_model = resize_temporal(x, (model_res, model_res))
+        im, _ = apply_fn(params, x_model)
+        return resize_temporal(im, (res, res))
+
+    return step
+
+
+def evaluate_varying_resolution(
+    model,
+    params,
+    test_paths: Sequence[str],
+    model_res: int = 128,
+    t_in: int = 10,
+    t_bundle: int = 1,
+    batch_size: int = 8,
+    n_channels: int | None = None,
+    res_list: Sequence[int] | None = None,
+    num_workers: int = 8,
+) -> dict:
+    """Resolution-transfer sweep (evaluate_varyingres.py:213-256)."""
+    res_list = list(res_list if res_list is not None else np.arange(32, 128, 9))
+    step = make_varyres_rollout(model_res, t_bundle)
+    out: dict = {}
+    for res in res_list:
+        per_ds = {}
+        for path in test_paths:
+            ds = MixedTemporalDataset(
+                [path], res=model_res, t_in=t_in, t_ar=-1,
+                n_channels=n_channels, train=False,
+            )
+            dl = DataLoader(ds, batch_size, shuffle=False, num_workers=num_workers)
+            f_sum = s_sum = 0.0
+            for x, y, msk, _ in dl:
+                x = resize_temporal(jnp.asarray(x), (res, res))
+                y = resize_temporal(jnp.asarray(y), (res, res))
+                m = refill_mask(jnp.asarray(msk), res)
+                t_test = y.shape[-2]
+                preds = []
+                loss = 0.0
+                for t in range(0, t_test, t_bundle):
+                    im = step(model.apply, params, x, int(res))
+                    sl = y[..., t : t + t_bundle, :]
+                    loss = loss + rel_lp_loss(im[..., : sl.shape[-2], :], sl, m)
+                    preds.append(im)
+                    x = jnp.concatenate([x[..., t_bundle:, :], im], axis=-2)
+                pred = jnp.concatenate(preds, axis=-2)[..., :t_test, :]
+                f_sum += _fetch(rel_lp_loss(pred, y, m))
+                s_sum += _fetch(loss)
+            per_ds[path] = {
+                "loss_full": f_sum / len(ds),
+                "loss_step": s_sum / len(ds) / max(t_test / t_bundle, 1),
+            }
+        out[int(res)] = per_ds
+    return out

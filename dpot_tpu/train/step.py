@@ -26,6 +26,17 @@ from dpot_tpu.train.state import TrainState
 from dpot_tpu.utils.criterion import cross_entropy_sum, rel_lp_loss
 
 
+def wrap_pred_only(apply_fn, n_cls: int = 1):
+    """Adapt a pred-only model (DPOTNet3D, FNO3d) to the (pred, cls_logits)
+    step contract."""
+
+    def fn(params, x):
+        pred = apply_fn(params, x)
+        return pred, jnp.zeros((x.shape[0], n_cls), jnp.float32)
+
+    return fn
+
+
 def make_train_step(
     t_bundle: int = 1,
     noise_scale: float = 0.0,
@@ -52,8 +63,11 @@ def make_train_step(
             y_s = y[..., s * t_bundle : (s + 1) * t_bundle, :]
             if noise_scale > 0.0:
                 rng, nrng = jax.random.split(rng)
+                # per-(sample, channel) norm over all spatial+time axes
+                # (train_temporal.py:205 dims (1,2,3); generalized to 3D)
+                norm_axes = tuple(range(1, x.ndim - 1))
                 xnorm = jnp.sqrt(
-                    jnp.sum(jnp.square(x), axis=(1, 2, 3), keepdims=True)
+                    jnp.sum(jnp.square(x), axis=norm_axes, keepdims=True)
                 )
                 x = x + noise_scale * xnorm * jax.random.normal(
                     nrng, x.shape, x.dtype
