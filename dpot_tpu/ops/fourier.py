@@ -199,6 +199,41 @@ def irfft2_pair(
     return y
 
 
+def fft2_pair(
+    x_re: jax.Array, x_im: jax.Array | None = None,
+    axes: tuple[int, int] = (-2, -1), backend: str | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Full (complex) 2D FFT over `axes` on a (re, im) pair; x_im=None means
+    real input. Unscaled ('backward' forward convention)."""
+    backend = backend or default_backend()
+    a0, a1 = axes
+    if backend == "xla":
+        z = x_re if x_im is None else jax.lax.complex(x_re, x_im)
+        f = jnp.fft.fft2(z, axes=axes)
+        return f.real, f.imag
+    if x_im is None:
+        x_im = jnp.zeros_like(x_re)
+    re, im = _fft_axis(x_re, x_im, a1 % x_re.ndim)
+    re, im = _fft_axis(re, im, a0 % x_re.ndim)
+    return re, im
+
+
+def ifft2_pair(
+    re: jax.Array, im: jax.Array,
+    axes: tuple[int, int] = (-2, -1), backend: str | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Full inverse 2D FFT (with 1/(H*W) scaling) on a (re, im) pair."""
+    backend = backend or default_backend()
+    a0, a1 = axes
+    if backend == "xla":
+        f = jnp.fft.ifft2(jax.lax.complex(re, im), axes=axes)
+        return f.real, f.imag
+    n = re.shape[a0] * re.shape[a1]
+    yr, yi = _ifft_axis(re, im, a0 % re.ndim)
+    yr, yi = _ifft_axis(yr, yi, a1 % re.ndim)
+    return yr / n, yi / n
+
+
 def rfft3_pair(
     x: jax.Array, axes: tuple[int, int, int] = (1, 2, 3), norm: str = "ortho",
     backend: str | None = None,
