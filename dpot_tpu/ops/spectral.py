@@ -79,12 +79,37 @@ def afno_mode_mlp(
     B2 = jnp.concatenate([b2[0], b2[1]], axis=-1).astype(cd)  # (nb, 2bs)
 
     z = jnp.concatenate([x_re, x_im], axis=-1).astype(cd)     # (N, nb, 2bs)
-    # batched over nb: (nb, N, 2bs) @ (nb, 2bs, 2bsf)
-    h = jnp.einsum("nbi,bio->nbo", z, W1, preferred_element_type=cd) + B1
-    h = act(h)
-    o = jnp.einsum("nbi,bio->nbo", h, W2, preferred_element_type=cd) + B2
+
+    if _use_pallas_mlp(W1.shape, act):
+        from dpot_tpu.ops.pallas.afno_kernel import afno_mlp
+
+        zb = jnp.transpose(z, (1, 0, 2))  # (nb, N, 2bs)
+        o = jnp.transpose(afno_mlp(zb, W1, B1, W2, B2), (1, 0, 2))
+    else:
+        # batched over nb: (nb, N, 2bs) @ (nb, 2bs, 2bsf)
+        h = jnp.einsum("nbi,bio->nbo", z, W1, preferred_element_type=cd) + B1
+        h = act(h)
+        o = jnp.einsum("nbi,bio->nbo", h, W2, preferred_element_type=cd) + B2
     o = o.astype(in_dtype)
     return o[..., :bs], o[..., bs:]
+
+
+def _use_pallas_mlp(w_shape, act) -> bool:
+    """Pick the fused Pallas kernel for the mode MLP. Opt-in via
+    DPOT_AFNO_IMPL=pallas (or 'xla' to force off); requires lane-aligned
+    block dims and the gelu activation (the kernel hardcodes gelu —
+    every DPOT preset uses gelu)."""
+    import os
+
+    from dpot_tpu.ops.activations import get_activation
+
+    impl = os.environ.get("DPOT_AFNO_IMPL", "xla")
+    if impl != "pallas":
+        return False
+    if act is not get_activation("gelu"):
+        return False
+    d_in, d_hid = w_shape[-2] * 2, w_shape[-1] * 2
+    return d_in % 128 == 0 and d_hid % 128 == 0
 
 
 def afno_filter_2d(
