@@ -1,0 +1,121 @@
+"""Distributed AFNO spectral mixer over a spatially-sharded mesh axis.
+
+The reference never shards space — it *downscales* 512^2 data to 128^2 to
+fit (griddataset.py:96). This module is the TPU-native extension
+(SURVEY.md §2.5/§7): shard the H axis over the 'spatial' mesh axis and run
+the rfft2 as a pencil decomposition —
+
+  local rfft over W  ->  all_to_all transpose (gather H, split W-freqs)
+  -> local FFT over H -> block-diagonal mode MLP on the kept corner
+  -> local inverse FFT over H -> all_to_all back -> local irfft over W
+
+The all-to-alls ride ICI inside `shard_map`; everything between them is
+purely local matmul-DFT work, so the op scales H beyond a single chip's
+HBM. Numerics match the single-device afno_filter_2d exactly (see
+tests/test_dist_fft.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dpot_tpu.ops.fourier import (
+    _fft_axis,
+    _ifft_axis,
+    _irfft_axis,
+    _rfft_axis,
+)
+from dpot_tpu.ops.spectral import afno_mode_mlp
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def afno_filter_2d_sharded(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    modes: int,
+    act: Callable,
+    mesh: Mesh,
+    axis_name: str = "spatial",
+) -> jax.Array:
+    """AFNO 2D mixer with H sharded over `axis_name`. x: (B, H, W, C)
+    global; H % axis_size == 0 required."""
+    B, H, W, C = x.shape
+    s = mesh.shape[axis_name]
+    assert H % s == 0, f"H={H} must divide spatial axis {s}"
+    Wf = W // 2 + 1
+    Wfp = _cdiv(Wf, s) * s  # pad W-frequencies to divide the axis
+    kh = min(modes, H)
+    kw = min(modes, Wf)
+    nb = w1.shape[1]
+    bs = C // nb
+    scale = 1.0 / np.sqrt(H * W)
+
+    def local(x, w1, b1, w2, b2):
+        # x: (B, H/s, W, C)
+        idx = jax.lax.axis_index(axis_name)
+        x32 = x.astype(jnp.float32)
+
+        # 1) local rfft over W
+        re, im = _rfft_axis(x32, 2)  # (B, H/s, Wf, C), unscaled
+        pad = ((0, 0), (0, 0), (0, Wfp - Wf), (0, 0))
+        re, im = jnp.pad(re, pad), jnp.pad(im, pad)
+
+        # 2) transpose: gather H, split W-freqs
+        re = jax.lax.all_to_all(re, axis_name, split_axis=2, concat_axis=1,
+                                tiled=True)  # (B, H, Wfp/s, C)
+        im = jax.lax.all_to_all(im, axis_name, split_axis=2, concat_axis=1,
+                                tiled=True)
+
+        # 3) local FFT over H + ortho scale
+        re, im = _fft_axis(re, im, 1)
+        re, im = re * scale, im * scale
+
+        # 4) mode MLP on every local mode, then mask to the kept corner
+        wfs = Wfp // s
+        n_local = B * H * wfs
+        o_re, o_im = afno_mode_mlp(
+            re.reshape(n_local, nb, bs), im.reshape(n_local, nb, bs),
+            w1, b1, w2, b2, act,
+        )
+        o_re = o_re.reshape(B, H, wfs, C)
+        o_im = o_im.reshape(B, H, wfs, C)
+        row_keep = (jnp.arange(H) < kh)[None, :, None, None]
+        gcol = idx * wfs + jnp.arange(wfs)
+        col_keep = (gcol < kw)[None, None, :, None]
+        keep = jnp.logical_and(row_keep, col_keep)
+        o_re = jnp.where(keep, o_re, 0.0)
+        o_im = jnp.where(keep, o_im, 0.0)
+
+        # 5) local inverse FFT over H (unscaled)
+        yr, yi = _ifft_axis(o_re, o_im, 1)
+
+        # 6) transpose back: split H, gather W-freqs
+        yr = jax.lax.all_to_all(yr, axis_name, split_axis=1, concat_axis=2,
+                                tiled=True)  # (B, H/s, Wfp, C)
+        yi = jax.lax.all_to_all(yi, axis_name, split_axis=1, concat_axis=2,
+                                tiled=True)
+        yr, yi = yr[:, :, :Wf], yi[:, :, :Wf]
+
+        # 7) local irfft over W + ortho scale
+        y = _irfft_axis(yr, yi, 2, W) * scale
+        return (y + x32).astype(x.dtype)
+
+    spec = P(None, axis_name, None, None)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, P(), P(), P(), P()),
+        out_specs=spec,
+    )(x, w1, b1, w2, b2)
