@@ -138,12 +138,10 @@ class MixedTemporalDataset:
 
     # -- reference pad_data (griddataset.py:88-101) --
     def pad_data(self, x: np.ndarray) -> np.ndarray:
-        x = resize_linear_nd(x, (self.res, self.res))
-        H, W, T, C = x.shape
-        if C < self.n_channels:  # pad channels with ONES
-            pad = np.ones((H, W, T, self.n_channels - C), dtype=x.dtype)
-            x = np.concatenate([x, pad], axis=-1)
-        return x
+        from dpot_tpu.native.preprocess import pad_data_2d
+
+        # native fused resize+pad when the toolchain built it; numpy otherwise
+        return pad_data_2d(x, self.res, self.n_channels)
 
     # -- reference get_target_mask (griddataset.py:103-117) --
     def get_target_mask(self, x: np.ndarray, size_orig: Sequence[int]) -> np.ndarray:
@@ -349,7 +347,9 @@ class TemporalDataset3D:
         return int(self.n_size)
 
     def pad_data(self, x: np.ndarray) -> np.ndarray:
-        x = resize_linear_nd(x, (self.res, self.res, self.res))
+        from dpot_tpu.native.preprocess import resize_trilinear_3d
+
+        x = resize_trilinear_3d(x, (self.res, self.res, self.res))
         *sp, T, C = x.shape
         if C < self.n_channels:
             pad = np.ones((*sp, T, self.n_channels - C), dtype=x.dtype)
