@@ -1,0 +1,89 @@
+"""FSDP/ZeRO-style parameter + optimizer-state sharding.
+
+The reference has no answer to models that don't fit one accelerator
+(SURVEY.md §2.5: no FSDP/ZeRO); DPOT-H (1.03B params) needs ~12GB of fp32
+params+Adam state before activations. Here: annotate every large parameter
+with a NamedSharding that splits its largest divisible axis over a mesh
+axis, place params AND optimizer moments with those shardings, and let
+XLA's SPMD partitioner insert the all-gathers (params, forward/backward)
+and reduce-scatters (grads) over ICI — the standard JAX recipe
+(jax-ml.github.io/scaling-book).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dpot_tpu.train.state import TrainState
+
+
+def param_spec(
+    p: Any, n_shards: int, axis: str = "data", min_size: int = 2**16
+) -> P:
+    """Pick the largest evenly-divisible axis to shard; replicate small
+    params (their all-gather overhead would dominate)."""
+    shape = np.shape(p)
+    if int(np.prod(shape)) < min_size:
+        return P()
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if shape[i] % n_shards == 0 and shape[i] >= n_shards:
+            parts: list = [None] * len(shape)
+            parts[i] = axis
+            return P(*parts)
+    return P()
+
+
+def fsdp_specs(params: Any, mesh: Mesh, axis: str = "data",
+               min_size: int = 2**16) -> Any:
+    n = mesh.shape[axis]
+    return jax.tree.map(lambda p: param_spec(p, n, axis, min_size), params)
+
+
+def shard_state_fsdp(
+    state: TrainState, mesh: Mesh, axis: str = "data", min_size: int = 2**16
+) -> TrainState:
+    """Place params and matching optimizer moments with FSDP shardings;
+    scalars (step counts, rng) replicated."""
+    specs = fsdp_specs(state.params, mesh, axis, min_size)
+
+    def put(tree, spec_tree):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, spec_tree,
+        )
+
+    params = put(state.params, specs)
+
+    def put_opt(x):
+        # moments share the param tree structure inside AdamState.mu/nu;
+        # anything else (counts) is replicated
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    opt_state = state.opt_state
+    new_opt = []
+    for entry in (opt_state if isinstance(opt_state, tuple) else (opt_state,)):
+        if hasattr(entry, "mu") and hasattr(entry, "nu"):
+            mu_specs = fsdp_specs(entry.mu, mesh, axis, min_size)
+            nu_specs = fsdp_specs(entry.nu, mesh, axis, min_size)
+            entry = entry._replace(
+                count=put_opt(entry.count),
+                mu=put(entry.mu, mu_specs),
+                nu=put(entry.nu, nu_specs),
+            )
+        else:
+            entry = jax.tree.map(put_opt, entry)
+        new_opt.append(entry)
+    opt_state = (
+        tuple(new_opt) if isinstance(state.opt_state, tuple) else new_opt[0]
+    )
+
+    return state.replace(
+        params=params,
+        opt_state=opt_state,
+        step=put_opt(state.step),
+        rng=jax.device_put(state.rng, NamedSharding(mesh, P())),
+    )

@@ -1,0 +1,61 @@
+"""FSDP sharding: spec selection, sharded-step equivalence with the
+replicated step on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dpot_tpu.parallel.fsdp import fsdp_specs, param_spec, shard_state_fsdp
+from dpot_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from dpot_tpu.train.optimizers import build_optimizer
+from dpot_tpu.train.state import TrainState
+from dpot_tpu.train.step import make_train_step
+from tests.test_train_step import tiny_model_and_batch
+
+pytestmark = pytest.mark.multichip
+
+
+def test_param_spec_selection():
+    assert param_spec(np.zeros((1024, 256)), 8) == P("data", None)
+    assert param_spec(np.zeros((256, 1024)), 8) == P(None, "data")
+    assert param_spec(np.zeros((16,)), 8) == P()  # too small
+    # not divisible on any axis -> replicated
+    assert param_spec(np.zeros((1023, 511)), 8, min_size=1) == P()
+
+
+def test_fsdp_step_matches_replicated():
+    model, params, batch = tiny_model_and_batch(B=8, T_ar=1)
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+    mesh = make_mesh(data=8, spatial=1)
+    step = make_train_step(t_bundle=1, noise_scale=0.0, donate=False)
+    sharded_batch = shard_batch(batch, mesh)
+
+    s_rep = replicate(
+        TrainState.create(model.apply, params, tx, jax.random.key(0)), mesh
+    )
+    s_rep, aux_rep = step(s_rep, sharded_batch)
+
+    s_fsdp = shard_state_fsdp(
+        TrainState.create(model.apply, params, tx, jax.random.key(0)),
+        mesh, min_size=256,
+    )
+    s_fsdp, aux_fsdp = step(s_fsdp, sharded_batch)
+
+    np.testing.assert_allclose(
+        float(jnp.reshape(aux_rep["loss_step"], ())),
+        float(jnp.reshape(aux_fsdp["loss_step"], ())), rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s_rep.params)),
+        jax.tree.leaves(jax.device_get(s_fsdp.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # params actually sharded (at least one leaf not fully replicated)
+    shardings = [
+        p.sharding.spec for p in jax.tree.leaves(s_fsdp.params)
+        if hasattr(p, "sharding")
+    ]
+    assert any(any(s is not None for s in spec) for spec in shardings)
