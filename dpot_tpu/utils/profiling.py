@@ -1,0 +1,111 @@
+"""Tracing / profiling utilities.
+
+The reference's observability is wall-clock deltas + a timing decorator
+(SURVEY.md §5: train_temporal.py:182-183, utils/utilities.py:78-86,
+torch_utils/misc.py:117-125 profiled_function). TPU equivalents here:
+jax.profiler trace annotations, a timing decorator that fences the device,
+AverageMeter, and a step-timer context that works on backends where
+rank-0 transfers are unimplemented.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def fence(x) -> float:
+    """Force device completion via a (1,1) value fetch (rank-0 transfers
+    are UNIMPLEMENTED on the tunneled TPU backend)."""
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.reshape(x, (1, 1)))[0, 0])
+
+
+def timing(fn):
+    """Reference `timing` decorator (utils/utilities.py:78-86), device-aware."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        print(f"{fn.__name__} took {time.perf_counter() - t0:.6f}s")
+        return out
+
+    return wrapped
+
+
+def profiled_function(fn):
+    """torch_utils/misc.py:117-125 equivalent: annotate the function in
+    jax.profiler traces."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.profiler.TraceAnnotation(fn.__name__):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace (view with TensorBoard / Perfetto)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class AverageMeter:
+    """Reference AverageMeter (utils/utilities.py)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+class EpochTimer:
+    """Bucketed wall-clock accounting (load/train/test) matching the
+    reference per-epoch printout (train_temporal.py:182-183,247-248)."""
+
+    def __init__(self):
+        self.buckets: dict[str, float] = {}
+        self._t = time.perf_counter()
+
+    def tick(self, bucket: str):
+        now = time.perf_counter()
+        self.buckets[bucket] = self.buckets.get(bucket, 0.0) + (now - self._t)
+        self._t = now
+
+    def get(self, bucket: str) -> float:
+        return self.buckets.get(bucket, 0.0)
+
+
+def count_parameters(params) -> int:
+    """Parameter count, doubling complex leaves (reference
+    utils/utilities.py:89-96 counts complex params twice)."""
+    total = 0
+    for p in jax.tree.leaves(params):
+        n = int(np.prod(np.shape(p)))
+        if np.iscomplexobj(p):
+            n *= 2
+        total += n
+    return total
