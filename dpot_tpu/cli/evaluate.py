@@ -51,6 +51,9 @@ def main(argv=None):
     varyres = "--varyres" in argv
     if varyres:
         argv.remove("--varyres")
+    full_metrics = "--metrics" in argv
+    if full_metrics:
+        argv.remove("--metrics")
     cfg = load_config(argv)
 
     n_channels = max(get_spec(p).n_channels for p in cfg.test_paths)
@@ -82,6 +85,7 @@ def main(argv=None):
             model, params, cfg.test_paths, res=cfg.res, t_in=cfg.T_in,
             t_bundle=cfg.T_bundle, batch_size=cfg.batch_size,
             n_channels=n_channels, num_workers=cfg.num_workers,
+            full_metrics=full_metrics,
         )
         for p in cfg.test_paths:
             print(f"{p}: {results[p]['loss_full']:.5f}")

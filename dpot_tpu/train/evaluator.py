@@ -40,8 +40,19 @@ def evaluate(
     batch_size: int = 8,
     n_channels: int | None = None,
     num_workers: int = 8,
+    full_metrics: bool = False,
 ) -> dict:
-    """Full-rollout eval; returns per-dataset losses + avg step time."""
+    """Full-rollout eval; returns per-dataset losses + avg step time.
+
+    full_metrics=True additionally computes the reference's Evaluator
+    battery (nMAE/nMSE/nMXE + boundary RMSE + spectral-band MSE,
+    utils/criterion.py:189-360) over the rollout predictions."""
+    from dpot_tpu.utils.criterion import (
+        boundary_rmse_2d,
+        evaluator_metrics,
+        spectral_band_mse_2d,
+    )
+
     roll = make_eval_rollout(t_bundle=t_bundle)
     results = {}
     total_time, total_steps = 0.0, 0
@@ -53,6 +64,8 @@ def evaluate(
         dl = DataLoader(ds, batch_size, shuffle=False, num_workers=num_workers)
         s_sum = f_sum = 0.0
         n_steps_per_traj = 1.0
+        extra: dict[str, float] = {}
+        n_batches = 0
         for x, y, msk, _ in dl:
             batch = {
                 "x": jnp.asarray(x), "y": jnp.asarray(y), "msk": jnp.asarray(msk)
@@ -65,10 +78,28 @@ def evaluate(
             total_steps += int(x.shape[0] * n_steps_per_traj)
             s_sum += _fetch(out["loss_step"])
             f_sum += f_val
+            n_batches += 1
+            if full_metrics:
+                pred = out["pred"] * batch["msk"]
+                tgt = batch["y"] * batch["msk"]
+                m = evaluator_metrics(pred, tgt, temporal=False)
+                bd = boundary_rmse_2d(pred, tgt)
+                lo, mid, hi = spectral_band_mse_2d(pred, tgt)
+                for k, v in {
+                    "nmae": jnp.mean(m["nmae"]), "nmse": jnp.mean(m["nmse"]),
+                    "nmxe": jnp.mean(m["nmxe"]), "bdmse": jnp.mean(bd),
+                    "fmse_low": jnp.mean(lo), "fmse_mid": jnp.mean(mid),
+                    "fmse_high": jnp.mean(hi),
+                }.items():
+                    extra[k] = extra.get(k, 0.0) + _fetch(v)
         results[path] = {
             "loss_step": s_sum / len(ds) / n_steps_per_traj,
             "loss_full": f_sum / len(ds),
         }
+        if full_metrics and n_batches:
+            results[path].update(
+                {k: v / n_batches for k, v in extra.items()}
+            )
     results["avg_step_time"] = total_time / max(total_steps, 1)
     return results
 

@@ -19,15 +19,26 @@ def onecycle(
     div_factor: float = 1e4,
     final_div_factor: float = 1e4,
 ):
-    """torch OneCycleLR with cos anneal (reference 'cycle' default,
-    train_temporal.py:138-140)."""
-    return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
-        peak_value=max_lr,
-        pct_start=min(max(warmup_epochs / epochs, 0.0), 0.95),
-        div_factor=div_factor,
-        final_div_factor=final_div_factor,
-    )
+    """torch OneCycleLR with cos anneal, exact formula (reference 'cycle'
+    default, train_temporal.py:138-140). Matches torch's fenceposts:
+    warmup spans [0, pct_start*total - 1], anneal spans the rest, final lr
+    = initial/final_div_factor at the last step."""
+    initial = max_lr / div_factor
+    min_lr = initial / final_div_factor
+    pct_start = min(max(warmup_epochs / epochs, 0.0), 0.95)
+    up = max(float(pct_start * total_steps) - 1.0, 1e-9)
+    down = max(float(total_steps - 1) - up, 1e-9)
+
+    def _anneal(start, end, pct):
+        return end + (start - end) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    def schedule(count):
+        c = jnp.asarray(count, jnp.float32)
+        lr_up = _anneal(initial, max_lr, jnp.clip(c / up, 0.0, 1.0))
+        lr_down = _anneal(max_lr, min_lr, jnp.clip((c - up) / down, 0.0, 1.0))
+        return jnp.where(c <= up, lr_up, lr_down)
+
+    return schedule
 
 
 def step_decay(base_lr: float, step_size: int, gamma: float = 0.5):
