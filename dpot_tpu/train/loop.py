@@ -127,6 +127,32 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
         train_l2_step = train_l2_full = 0.0
         steps_per_sample = 1.0
 
+        # one-step-lagged metric fetch: step i+1 is dispatched before step
+        # i's loss is read back, so the device pipeline never drains (the
+        # reference's .item() per step serializes; here only the rollback
+        # check lags one step)
+        pending = None  # (aux, batch_size, steps_per_sample)
+
+        def drain(pending):
+            nonlocal train_l2_step, train_l2_full, loss_previous, state
+            if pending is None:
+                return
+            aux_p, bsz, sps = pending
+            loss_v = _fetch(aux_p["loss_step"])
+            full_v = _fetch(aux_p["loss_full"])
+            train_l2_step += loss_v
+            train_l2_full += full_v
+            if writer.log_dir:
+                writer.scalar("train_loss_step", loss_v / (bsz * sps), it)
+                writer.scalar("train_loss_full", full_v / bsz, it)
+            if loss_v > 10 * loss_previous:
+                writer.text("loss explodes, restoring previous good state")
+                state = state.replace(
+                    params=replicate(last_good[0], mesh),
+                    opt_state=replicate(last_good[1], mesh),
+                )
+            loss_previous = loss_v
+
         for x, y, msk, cls in train_dl:
             t_load += time.perf_counter() - t_1
             t_1 = time.perf_counter()
@@ -135,27 +161,13 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
                 spatial_sharded=cfg.mesh_spatial > 1,
             )
             state, aux = step_fn(state, batch)
-            loss_v = _fetch(aux["loss_step"])
-            full_v = _fetch(aux["loss_full"])
             steps_per_sample = y.shape[-2] / cfg.T_bundle
-            train_l2_step += loss_v
-            train_l2_full += full_v
             it += 1
-            if writer.log_dir:
-                writer.scalar(
-                    "train_loss_step", loss_v / (x.shape[0] * steps_per_sample), it
-                )
-                writer.scalar("train_loss_full", full_v / x.shape[0], it)
-            # loss-explosion rollback (train_temporal.py:240-245)
-            if loss_v > 10 * loss_previous:
-                writer.text("loss explodes, restoring previous good state")
-                state = state.replace(
-                    params=replicate(last_good[0], mesh),
-                    opt_state=replicate(last_good[1], mesh),
-                )
-            loss_previous = loss_v
+            drain(pending)
+            pending = (aux, x.shape[0], steps_per_sample)
             t_train += time.perf_counter() - t_1
             t_1 = time.perf_counter()
+        drain(pending)
 
         # ---- eval ----
         test_l2_steps, test_l2_fulls = [], []
