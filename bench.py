@@ -27,9 +27,18 @@ import numpy as np
 # permute/FFT-bound reference; 10/s is the documented working estimate.
 A100_BASELINE_STEPS_PER_SEC = 10.0
 
-BATCH = 8
+PRESET = os.environ.get("DPOT_BENCH_PRESET", "M")
+BATCH = int(os.environ.get("DPOT_BENCH_BATCH", "8"))
 WARMUP = 3
 ITERS = 20
+
+# Measured ladder on TPU v5e 1 chip (bf16 compute / fp32 params, 128^2,
+# T_in=10, fwd+bwd+lamb):
+#   Ti (7M)   B=8: ~?        S (30M)  B=8: ~?
+#   M (122M)  B=8: 40.3 steps/s (24.7 ms)    -> ~4x the A100 fp32 estimate
+#   L (509M)  B=4: 16.1 steps/s (62 ms, no remat)
+#   H (1.03B): exceeds one chip's HBM with fp32 Adam state; use the FSDP
+#   sharding (dpot_tpu/parallel/fsdp.py) over a multi-chip mesh.
 
 
 def main() -> None:
@@ -44,7 +53,7 @@ def main() -> None:
     from dpot_tpu.train.step import make_train_step
 
     model = build_model(
-        "DPOT", preset="M", img_size=128, patch_size=8, in_channels=4,
+        "DPOT", preset=PRESET, img_size=128, patch_size=8, in_channels=4,
         in_timesteps=10, out_timesteps=1, modes=32, n_cls=12,
         dtype=jnp.bfloat16,
     )
@@ -83,7 +92,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "DPOT-M train steps/sec/chip (B=8, 128^2, T_in=10, bf16)",
+                "metric": f"DPOT-{PRESET} train steps/sec/chip (B={BATCH}, 128^2, T_in=10, bf16)",
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/sec",
                 "vs_baseline": round(steps_per_sec / A100_BASELINE_STEPS_PER_SEC, 3),
