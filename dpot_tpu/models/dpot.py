@@ -117,8 +117,88 @@ class Block(nn.Module):
         return x + residual
 
 
+class PatchConv(nn.Module):
+    """Conv2d(k=p, s=p) lowered as space-to-depth + matmul.
+
+    A non-overlapping strided conv IS a dense layer over p*p*C patch
+    vectors; XLA's conv path handles the tiny unaligned channel counts of
+    the patch embed (C_in=7) poorly on TPU (~10x off roofline measured),
+    while this lowering is one well-tiled matmul. Params are named/shaped
+    exactly like nn.Conv (kernel (p,p,C,E) HWIO + bias) so checkpoints are
+    interchangeable. Works on (..., H, W, C) with any leading batch dims.
+    """
+
+    features: int
+    patch_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, H, W, C) or (B, H, W, T, C) — spatial always at axes
+        (-3-has_t, -2-has_t); a trailing T axis rides between patches and
+        channels without any full-resolution transpose."""
+        p = self.patch_size
+        has_t = x.ndim == 5
+        if has_t:
+            B, H, W, T, C = x.shape
+        else:
+            B, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", torch_linear_weight(), (p, p, C, self.features)
+        )
+        bias = self.param("bias", torch_bias(C * p * p), (self.features,))
+        h, w = H // p, W // p
+        k = kernel.reshape(p * p * C, self.features).astype(self.dtype)
+        if has_t:
+            x = x.reshape(B, h, p, w, p, T, C)
+            x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6))  # B,h,w,T,p,p,C
+            y = x.reshape(B, h, w, T, p * p * C).astype(self.dtype) @ k
+        else:
+            x = x.reshape(B, h, p, w, p, C)
+            x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))  # B,h,w,p,p,C
+            y = x.reshape(B, h, w, p * p * C).astype(self.dtype) @ k
+        return y + bias.astype(self.dtype)
+
+
+class UnpatchConv(nn.Module):
+    """ConvTranspose2d(k=p, s=p) lowered as matmul + depth-to-space.
+
+    Same rationale as PatchConv (measured ~20x faster than the XLA
+    conv-transpose lowering at the DPOT head shapes). Params are
+    named/shaped exactly like flax nn.ConvTranspose (kernel (p,p,D,O));
+    equivalence is pinned by tests/test_patch_lowering.py.
+    """
+
+    features: int
+    patch_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (..., h, w, D)
+        p = self.patch_size
+        *lead, h, w, D = x.shape
+        kernel = self.param(
+            "kernel", torch_linear_weight(fan_in=D * p * p),
+            (p, p, D, self.features),
+        )
+        bias = self.param("bias", torch_bias(D), (self.features,))
+        lead_t = tuple(lead)
+        nl = len(lead_t)
+        k = (
+            jnp.transpose(kernel, (2, 0, 1, 3))
+            .reshape(D, p * p * self.features)
+            .astype(self.dtype)
+        )
+        y = x.astype(self.dtype) @ k  # (..., h, w, p*p*O)
+        y = y.reshape(*lead_t, h, w, p, p, self.features)
+        perm = tuple(range(nl)) + (nl, nl + 2, nl + 1, nl + 3, nl + 4)
+        y = jnp.transpose(y, perm)  # (..., h, p, w, p, O)
+        y = y.reshape(*lead_t, h * p, w * p, self.features)
+        return y + bias.astype(self.dtype)
+
+
 class PatchEmbed(nn.Module):
-    """Strided-conv patchifier (reference models/dpot.py:183-209)."""
+    """Patchifier (reference models/dpot.py:183-209), matmul lowering."""
 
     patch_size: int
     embed_dim: int
@@ -127,19 +207,15 @@ class PatchEmbed(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (N, H, W, C_in)
-        p = self.patch_size
-        c_in = x.shape[-1]
-        x = nn.Conv(
-            self.embed_dim, kernel_size=(p, p), strides=(p, p), padding="VALID",
-            kernel_init=torch_linear_weight(), bias_init=torch_bias(c_in * p * p),
-            dtype=self.dtype, name="proj1",
+    def __call__(self, x):  # (..., H, W, C_in)
+        x = PatchConv(
+            self.embed_dim, self.patch_size, dtype=self.dtype, name="proj1"
         )(x)
         x = get_activation(self.act)(x)
-        x = nn.Conv(
-            self.out_dim, kernel_size=(1, 1),
-            kernel_init=torch_linear_weight(), bias_init=torch_bias(self.embed_dim),
-            dtype=self.dtype, name="proj2",
+        x = nn.Dense(
+            self.out_dim, kernel_init=torch_linear_weight(),
+            bias_init=torch_bias(self.embed_dim), dtype=self.dtype,
+            name="proj2",
         )(x)
         return x
 
@@ -165,7 +241,11 @@ class TimeAggregator(nn.Module):
             x = x * t_embed
         elif self.time_agg != "mlp":
             raise ValueError(f"unknown time_agg {self.time_agg!r}")
-        return jnp.einsum("tij,...ti->...j", w, x)
+        # einsum('tij,...ti->...j') lowered as one flat matmul over (t,i)
+        # (the direct einsum lowering measured ~7x off roofline on TPU)
+        lead = x.shape[:-2]
+        z = x.reshape(*lead, T * C) @ w.reshape(T * C, C)
+        return z
 
 
 class DPOTNet(nn.Module):
@@ -229,8 +309,7 @@ class DPOTNet(nn.Module):
         )
         x = jnp.concatenate([x, grid], axis=-1)  # (B, X, Y, T, C+3)
 
-        # per-frame patch embed: fold T into batch (channels-last, no permute)
-        x = jnp.transpose(x, (0, 3, 1, 2, 4)).reshape(B * T, H, W, C + 3)
+        # per-frame patch embed, T riding along (no full-res transpose)
         x = PatchEmbed(
             patch_size=p,
             embed_dim=self.out_channels * p + 3,
@@ -238,14 +317,13 @@ class DPOTNet(nn.Module):
             act=self.act,
             dtype=self.dtype,
             name="patch_embed",
-        )(x)  # (B*T, h, w, D)
+        )(x)  # (B, h, w, T, D)
 
         pos_embed = self.param(
             "pos_embed", trunc_normal(0.02), (1, h, w_lat, self.embed_dim)
         )
-        x = x + pos_embed
+        x = x + pos_embed[:, :, :, None, :]
 
-        x = x.reshape(B, T, h, w_lat, self.embed_dim).transpose(0, 2, 3, 1, 4)
         x = TimeAggregator(
             n_timesteps=self.in_timesteps,
             out_channels=self.embed_dim,
@@ -284,21 +362,18 @@ class DPOTNet(nn.Module):
         cls_pred = ct
 
         # output head (reference models/dpot.py:315-321,397-398)
-        x = nn.ConvTranspose(
-            self.out_layer_dim, kernel_size=(p, p), strides=(p, p), padding="VALID",
-            kernel_init=torch_linear_weight(fan_in=self.embed_dim * p * p),
-            bias_init=torch_bias(self.embed_dim),
-            dtype=self.dtype, name="out_deconv",
+        x = UnpatchConv(
+            self.out_layer_dim, p, dtype=self.dtype, name="out_deconv"
         )(x)
         x = act(x)
-        x = nn.Conv(
-            self.out_layer_dim, kernel_size=(1, 1),
+        x = nn.Dense(
+            self.out_layer_dim,
             kernel_init=torch_linear_weight(), bias_init=torch_bias(self.out_layer_dim),
             dtype=self.dtype, name="out_conv1",
         )(x)
         x = act(x)
-        x = nn.Conv(
-            self.out_channels * self.out_timesteps, kernel_size=(1, 1),
+        x = nn.Dense(
+            self.out_channels * self.out_timesteps,
             kernel_init=torch_linear_weight(), bias_init=torch_bias(self.out_layer_dim),
             dtype=self.dtype, name="out_conv2",
         )(x)  # (B, X, Y, T_out*C_out)

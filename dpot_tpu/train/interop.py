@@ -58,12 +58,33 @@ def _conv(sd, prefix):
 
 
 def _conv_transpose(sd, prefix):
+    """torch ConvTranspose2d -> flax nn.ConvTranspose kernel (spatial flip
+    + (k..., I, O)); used for models that keep the flax module (UNet)."""
     w = _np(sd[f"{prefix}.weight"])  # (I, O, kh, kw[, kz])
     nd = w.ndim - 2
-    # flax ConvTranspose cross-correlates: flip spatial dims, then (k..., I, O)
     w = np.flip(w, axis=tuple(range(2, 2 + nd)))
     kernel = np.transpose(w, tuple(range(2, 2 + nd)) + (0, 1))
     out = {"kernel": kernel}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _unpatch(sd, prefix):
+    """torch ConvTranspose2d(k=p, s=p) -> UnpatchConv kernel (p,p,D,O):
+    K[i,j,d,o] = W_t[d,o,i,j], NO spatial flip (for stride==kernel the
+    transposed conv scatters weight[r] to output offset r directly)."""
+    w = _np(sd[f"{prefix}.weight"])  # (D, O, p, p)
+    kernel = np.transpose(w, (2, 3, 0, 1))
+    out = {"kernel": kernel}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _dense_from_1x1(sd, prefix):
+    """torch 1x1 Conv2d (O, I, 1, 1) -> Dense kernel (I, O)."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"])[:, :, 0, 0].T}
     if f"{prefix}.bias" in sd:
         out["bias"] = _np(sd[f"{prefix}.bias"])
     return out
@@ -93,7 +114,7 @@ def dpot_params_from_torch(
 
     p["patch_embed"] = {
         "proj1": _conv(sd, "patch_embed.proj.0"),
-        "proj2": _conv(sd, "patch_embed.proj.2"),
+        "proj2": _dense_from_1x1(sd, "patch_embed.proj.2"),
     }
     pos = _np(sd["pos_embed"])  # (1, D, h, w)
     pos = np.transpose(pos, (0, 2, 3, 1))
@@ -135,9 +156,9 @@ def dpot_params_from_torch(
     for j, src in enumerate([0, 2, 4]):
         p[f"cls_head_{j}"] = _linear(sd, f"cls_head.{src}")
 
-    p["out_deconv"] = _conv_transpose(sd, "out_layer.0")
-    p["out_conv1"] = _conv(sd, "out_layer.2")
-    p["out_conv2"] = _conv(sd, "out_layer.4")
+    p["out_deconv"] = _unpatch(sd, "out_layer.0")
+    p["out_conv1"] = _dense_from_1x1(sd, "out_layer.2")
+    p["out_conv2"] = _dense_from_1x1(sd, "out_layer.4")
 
     return {"params": p}
 
