@@ -193,7 +193,10 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
                 )
 
         if ckpt_dir and (ep % cfg.save_every == 0 or ep == cfg.epochs - 1):
-            save_checkpoint(ckpt_dir, state, config=vars(cfg))
+            target = ckpt_dir
+            if cfg.ckpt_bucket_epochs > 0:
+                target = f"{ckpt_dir}_{ep // cfg.ckpt_bucket_epochs}"
+            save_checkpoint(target, state, config=vars(cfg))
         last_good = jax.device_get(state.params), jax.device_get(state.opt_state)
 
         t_test = time.perf_counter() - t_1

@@ -74,6 +74,9 @@ class TrainConfig:
         default_factory=lambda: ["blocks", "pos", "time_agg"]
     )
     save_every: int = 1
+    # >0: keep one checkpoint dir per N-epoch bucket (model_{ep//N}),
+    # like the reference parallel path (train_temporal_parallel.py:170-171)
+    ckpt_bucket_epochs: int = 0
 
     def __post_init__(self):
         if isinstance(self.train_paths, str):
