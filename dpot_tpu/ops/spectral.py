@@ -112,6 +112,46 @@ def _use_pallas_mlp(w_shape, act) -> bool:
     return d_in % 128 == 0 and d_hid % 128 == 0
 
 
+from functools import lru_cache
+
+import numpy as np
+
+
+@lru_cache(maxsize=32)
+def _combined_spectral_ops(H: int, W: int, kh: int, kw: int):
+    """Combined real analysis/synthesis operators for the kept mode corner.
+
+    A (2K, H*W):   pixels -> stacked [re; im] of the kept rfft2 corner
+    Ainv (H*W, 2K): kept corner -> irfft2 of the zero-padded spectrum
+
+    Built numerically by transforming basis vectors with numpy's FFT, so
+    they are exact by construction (ortho norm). For small latent grids
+    this turns the whole rfft2 -> corner -> irfft2 pipeline into two
+    MXU-shaped matmuls with zero transposes/scatters — the TPU-native
+    fused FFT-GEMM-iFFT (cf. TurboFNO, arXiv 2504.11681, which needs a
+    bespoke GPU kernel for the same fusion).
+    """
+    n = H * W
+    K = kh * kw
+    eye = np.eye(n, dtype=np.float32).reshape(n, H, W)
+    F = np.fft.rfft2(eye, axes=(1, 2), norm="ortho")[:, :kh, :kw].reshape(n, K)
+    A = np.concatenate([F.real.T, F.imag.T], axis=0).astype(np.float32)
+
+    Z = np.zeros((2 * K, H, W // 2 + 1), dtype=np.complex128)
+    for m in range(K):
+        h, k = divmod(m, kw)
+        Z[m, h, k] = 1.0
+        Z[K + m, h, k] = 1j
+    Y = np.fft.irfft2(Z, s=(H, W), axes=(1, 2), norm="ortho").reshape(2 * K, n)
+    Ainv = Y.T.astype(np.float32)
+    return A, Ainv
+
+
+# latent grids up to this many pixels use the combined-operator path;
+# larger grids use the separable per-axis DFT (fewer FLOPs)
+_COMBINED_MAX_PIXELS = 4096
+
+
 def afno_filter_2d(
     x: jax.Array,
     w1: jax.Array,
@@ -134,6 +174,24 @@ def afno_filter_2d(
     kw = min(modes, W // 2 + 1)
 
     x32 = x.astype(jnp.float32)
+
+    if H * W <= _COMBINED_MAX_PIXELS:
+        A, Ainv = _combined_spectral_ops(H, W, kh, kw)
+        K = kh * kw
+        xs = x32.reshape(B, H * W, C)
+        z = jnp.einsum("mn,bnc->bmc", jnp.asarray(A), xs)  # (B, 2K, C)
+        cr = z[:, :K].reshape(B * K, nb, bs)
+        ci = z[:, K:].reshape(B * K, nb, bs)
+        o_re, o_im = afno_mode_mlp(cr, ci, w1, b1, w2, b2, act, compute_dtype)
+        o = jnp.concatenate(
+            [
+                o_re.astype(jnp.float32).reshape(B, K, C),
+                o_im.astype(jnp.float32).reshape(B, K, C),
+            ],
+            axis=1,
+        )
+        y = jnp.einsum("nm,bmc->bnc", jnp.asarray(Ainv), o).reshape(B, H, W, C)
+        return (y + x32).astype(x.dtype)
     fr, fi = rfft2_pair(x32, axes=(1, 2), norm="ortho")  # (B, H, W//2+1, C)
 
     cr = fr[:, :kh, :kw, :].reshape(B * kh * kw, nb, bs)

@@ -64,8 +64,13 @@ def shard_state_fsdp(
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     opt_state = state.opt_state
+    # a chained optimizer's state is a plain tuple of entries; a NamedTuple
+    # (e.g. AdamState) is ONE entry even though isinstance(-, tuple)
+    is_chain = isinstance(opt_state, tuple) and not hasattr(
+        opt_state, "_fields"
+    )
     new_opt = []
-    for entry in (opt_state if isinstance(opt_state, tuple) else (opt_state,)):
+    for entry in (opt_state if is_chain else (opt_state,)):
         if hasattr(entry, "mu") and hasattr(entry, "nu"):
             mu_specs = fsdp_specs(entry.mu, mesh, axis, min_size)
             nu_specs = fsdp_specs(entry.nu, mesh, axis, min_size)
@@ -77,9 +82,7 @@ def shard_state_fsdp(
         else:
             entry = jax.tree.map(put_opt, entry)
         new_opt.append(entry)
-    opt_state = (
-        tuple(new_opt) if isinstance(state.opt_state, tuple) else new_opt[0]
-    )
+    opt_state = tuple(new_opt) if is_chain else new_opt[0]
 
     return state.replace(
         params=params,

@@ -29,6 +29,12 @@ def _lr_at(lr: Schedule, step: jax.Array) -> jax.Array:
     return lr(step) if callable(lr) else jnp.asarray(lr)
 
 
+def _global_norm(grads) -> jax.Array:
+    return jnp.sqrt(
+        sum(jnp.sum(_abs_sq(g)) for g in jax.tree.leaves(grads))
+    )
+
+
 def _abs_sq(g: jax.Array) -> jax.Array:
     """g * conj(g) as a real array (second-moment accumulator)."""
     if jnp.iscomplexobj(g):
@@ -40,6 +46,7 @@ class AdamState(NamedTuple):
     count: jax.Array
     mu: Any
     nu: Any
+    grad_norm: jax.Array = None  # pre-clip global norm of the last step
 
 
 def adam(
@@ -48,26 +55,39 @@ def adam(
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 1e-6,
+    clip_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Reference Adam (utils/optimizer.py:9-52): coupled weight decay,
-    bias-corrected, complex-safe."""
+    bias-corrected, complex-safe. clip_norm fuses the global-norm grad
+    clip into the update (single memory pass instead of a chained
+    transform materializing scaled gradients)."""
 
     def init(params):
         return AdamState(
             count=jnp.zeros([], jnp.int32),
             mu=jax.tree.map(jnp.zeros_like, params),
             nu=jax.tree.map(lambda p: jnp.zeros(p.shape, _real_dtype(p)), params),
+            grad_norm=jnp.zeros([], jnp.float32),
         )
 
     def update(grads, state, params):
         count = state.count + 1
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
-        if weight_decay != 0.0:
-            grads = jax.tree.map(lambda g, p: g + weight_decay * p, grads, params)
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        gnorm = _global_norm(grads)
+        cs = (
+            jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+            if clip_norm is not None
+            else 1.0
+        )
+        mu = jax.tree.map(
+            lambda m, g, p: b1 * m + (1 - b1) * (g * cs + weight_decay * p),
+            state.mu, grads, params,
+        )
         nu = jax.tree.map(
-            lambda v, g: b2 * v + (1 - b2) * _abs_sq(g), state.nu, grads
+            lambda v, g, p: b2 * v
+            + (1 - b2) * _abs_sq(g * cs + weight_decay * p),
+            state.nu, grads, params,
         )
         lr = _lr_at(learning_rate, state.count)
         step_size = lr / bc1
@@ -77,7 +97,7 @@ def adam(
             return (-step_size * (m / denom)).astype(m.dtype)
 
         updates = jax.tree.map(upd, mu, nu)
-        return updates, AdamState(count=count, mu=mu, nu=nu)
+        return updates, AdamState(count=count, mu=mu, nu=nu, grad_norm=gnorm)
 
     return optax.GradientTransformation(init, update)
 
@@ -88,6 +108,7 @@ def adamw(
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 1e-2,
+    clip_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Reference AdamW (utils/optimizer.py:170-212): decoupled decay
     p *= (1 - lr*wd) folded into the additive update."""
@@ -97,15 +118,24 @@ def adamw(
             count=jnp.zeros([], jnp.int32),
             mu=jax.tree.map(jnp.zeros_like, params),
             nu=jax.tree.map(lambda p: jnp.zeros(p.shape, _real_dtype(p)), params),
+            grad_norm=jnp.zeros([], jnp.float32),
         )
 
     def update(grads, state, params):
         count = state.count + 1
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        gnorm = _global_norm(grads)
+        cs = (
+            jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+            if clip_norm is not None
+            else 1.0
+        )
+        mu = jax.tree.map(
+            lambda m, g: b1 * m + (1 - b1) * (g * cs), state.mu, grads
+        )
         nu = jax.tree.map(
-            lambda v, g: b2 * v + (1 - b2) * _abs_sq(g), state.nu, grads
+            lambda v, g: b2 * v + (1 - b2) * _abs_sq(g * cs), state.nu, grads
         )
         lr = _lr_at(learning_rate, state.count)
         step_size = lr / bc1
@@ -115,7 +145,7 @@ def adamw(
             return (-lr * weight_decay * p - step_size * (m / denom)).astype(p.dtype)
 
         updates = jax.tree.map(upd, params, mu, nu)
-        return updates, AdamState(count=count, mu=mu, nu=nu)
+        return updates, AdamState(count=count, mu=mu, nu=nu, grad_norm=gnorm)
 
     return optax.GradientTransformation(init, update)
 
@@ -129,6 +159,7 @@ def lamb(
     clamp_value: float = 10.0,
     adam_mode: bool = True,
     debias: bool = False,
+    clip_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Reference Lamb (utils/optimizer.py:380-499). The training scripts run
     it with adam=True, debias=False (train_temporal.py:133): no bias
@@ -140,13 +171,22 @@ def lamb(
             count=jnp.zeros([], jnp.int32),
             mu=jax.tree.map(jnp.zeros_like, params),
             nu=jax.tree.map(lambda p: jnp.zeros(p.shape, _real_dtype(p)), params),
+            grad_norm=jnp.zeros([], jnp.float32),
         )
 
     def update(grads, state, params):
         count = state.count + 1
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        gnorm = _global_norm(grads)
+        cs = (
+            jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+            if clip_norm is not None
+            else 1.0
+        )
+        mu = jax.tree.map(
+            lambda m, g: b1 * m + (1 - b1) * (g * cs), state.mu, grads
+        )
         nu = jax.tree.map(
-            lambda v, g: b2 * v + (1 - b2) * _abs_sq(g), state.nu, grads
+            lambda v, g: b2 * v + (1 - b2) * _abs_sq(g * cs), state.nu, grads
         )
         if debias:
             cf = count.astype(jnp.float32)
@@ -175,7 +215,7 @@ def lamb(
             return (-step_size * trust_ratio * adam_step).astype(p.dtype)
 
         updates = jax.tree.map(upd, params, mu, nu)
-        return updates, AdamState(count=count, mu=mu, nu=nu)
+        return updates, AdamState(count=count, mu=mu, nu=nu, grad_norm=gnorm)
 
     return optax.GradientTransformation(init, update)
 
@@ -216,19 +256,20 @@ def build_optimizer(
         tx = adam(
             learning_rate, beta1, beta2,
             weight_decay=1e-6 if weight_decay is None else weight_decay,
+            clip_norm=grad_clip,
         )
     elif name == "adamw":
         tx = adamw(
             learning_rate, beta1, beta2,
             weight_decay=1e-2 if weight_decay is None else weight_decay,
+            clip_norm=grad_clip,
         )
     elif name == "lamb":
         tx = lamb(
             learning_rate, beta1, beta2,
             weight_decay=1e-4 if weight_decay is None else weight_decay,
+            clip_norm=grad_clip,
         )
     else:
         raise ValueError(f"unknown optimizer {name!r}")
-    if grad_clip is not None:
-        tx = optax.chain(clip_by_global_norm(grad_clip), tx)
     return tx

@@ -100,11 +100,29 @@ def make_train_step(
             state.params, state.apply_fn, batch, step_rng
         )
         new_state = state.apply_gradients(grads).replace(rng=rng)
-        aux["grad_norm"] = jnp.sqrt(
-            sum(
-                jnp.sum(jnp.square(jnp.abs(g))) for g in jax.tree.leaves(grads)
-            )
+        # the fused optimizers compute the pre-clip global norm in-pass
+        # (AdamState.grad_norm); recompute only for foreign optimizers
+        opt_entries = (
+            new_state.opt_state
+            if isinstance(new_state.opt_state, tuple)
+            else (new_state.opt_state,)
         )
+        gnorm = next(
+            (
+                e.grad_norm
+                for e in opt_entries
+                if hasattr(e, "grad_norm") and e.grad_norm is not None
+            ),
+            None,
+        )
+        if gnorm is None:
+            gnorm = jnp.sqrt(
+                sum(
+                    jnp.sum(jnp.square(jnp.abs(g)))
+                    for g in jax.tree.leaves(grads)
+                )
+            )
+        aux["grad_norm"] = gnorm
         return new_state, aux
 
     return train_step
