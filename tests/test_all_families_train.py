@@ -21,8 +21,9 @@ COMMON = dict(img_size=16, patch_size=4, in_channels=2, out_channels=2,
 def test_family_train_step_2d(family):
     kwargs = dict(COMMON)
     if family == "FNO":
-        # FNO keeps +-modes corners: modes <= latent//2 (latent = 16/4 = 4)
-        kwargs["modes"] = 2
+        # FNO predicts at latent resolution, so it trains with patch_size=1
+        # (the reference's classic-FNO configuration); modes <= H//2
+        kwargs["patch_size"] = 1
     model = build_model(family, **kwargs)
     rng = np.random.default_rng(0)
     batch = {
