@@ -155,7 +155,7 @@ class CDPOTNet(nn.Module):
         x = x.reshape(B, T, h, h, self.embed_dim).transpose(0, 2, 3, 1, 4)
         x = TimeAggregator(
             n_timesteps=self.in_timesteps, out_channels=self.embed_dim,
-            time_agg=self.time_agg, name="time_agg",
+            time_agg=self.time_agg, dtype=self.dtype, name="time_agg",
         )(x)
 
         if self.normalize:

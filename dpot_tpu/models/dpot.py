@@ -227,6 +227,7 @@ class TimeAggregator(nn.Module):
     n_timesteps: int
     out_channels: int
     time_agg: str = "exp_mlp"  # 'mlp' | 'exp_mlp'
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, T, C)
@@ -234,17 +235,18 @@ class TimeAggregator(nn.Module):
         w = self.param(
             "w", scaled_normal(1.0 / (T * C**0.5)), (T, C, C)
         )
+        x = x.astype(self.dtype)
         if self.time_agg == "exp_mlp":
             gamma = self.param("gamma", gamma_geometric(), (1, C))
             t = jnp.linspace(0.0, 1.0, x.shape[-2], dtype=jnp.float32)[:, None]
-            t_embed = jnp.cos(t @ gamma)  # (T, C)
+            t_embed = jnp.cos(t @ gamma).astype(self.dtype)  # (T, C)
             x = x * t_embed
         elif self.time_agg != "mlp":
             raise ValueError(f"unknown time_agg {self.time_agg!r}")
         # einsum('tij,...ti->...j') lowered as one flat matmul over (t,i)
         # (the direct einsum lowering measured ~7x off roofline on TPU)
         lead = x.shape[:-2]
-        z = x.reshape(*lead, T * C) @ w.reshape(T * C, C)
+        z = x.reshape(*lead, T * C) @ w.reshape(T * C, C).astype(self.dtype)
         return z
 
 
@@ -328,6 +330,7 @@ class DPOTNet(nn.Module):
             n_timesteps=self.in_timesteps,
             out_channels=self.embed_dim,
             time_agg=self.time_agg,
+            dtype=self.dtype,
             name="time_agg",
         )(x)  # (B, h, w, D)
 

@@ -191,7 +191,7 @@ class DPOTNet3D(nn.Module):
         x = x.reshape(B, T, hl, hl, hl, self.embed_dim).transpose(0, 2, 3, 4, 1, 5)
         x = TimeAggregator(
             n_timesteps=self.in_timesteps, out_channels=self.embed_dim,
-            time_agg=self.time_agg, name="time_agg",
+            time_agg=self.time_agg, dtype=self.dtype, name="time_agg",
         )(x)  # (B, h, h, h, D)
 
         if self.normalize:

@@ -17,7 +17,10 @@ COMMON = dict(img_size=16, patch_size=4, in_channels=2, out_channels=2,
               embed_dim=32, depth=1, n_blocks=4, out_layer_dim=8)
 
 
-@pytest.mark.parametrize("family", ["DPOT", "CDPOT", "FNO", "UNet"])
+@pytest.mark.parametrize(
+    "family",
+    ["DPOT", "CDPOT", "FNO", pytest.param("UNet", marks=pytest.mark.slow)],
+)
 def test_family_train_step_2d(family):
     kwargs = dict(COMMON)
     if family == "FNO":

@@ -108,6 +108,7 @@ def test_unet_forward_2d(spatial):
     assert (np.asarray(cls) == 0).all()
 
 
+@pytest.mark.slow
 def test_unet_forward_3d():
     model = UNet(in_channels=1, out_channels=1, out_timesteps=2, width=4,
                  n_dim=3, n_cls=1)
