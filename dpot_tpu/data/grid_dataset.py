@@ -188,10 +188,12 @@ class MixedTemporalDataset:
             msk = self.get_target_mask(sample, orig_size)
 
         if self.normalize:
+            # stats have a size-1 time axis and broadcast over the window
+            # (the reference's per-window slice, griddataset.py:166, indexes
+            # a size-1 axis and breaks for start>0; normalize=False is the
+            # only exercised path there — here broadcasting makes it usable)
             nz = self.normalizers[dataset_idx]
-            x = (x - nz.mean[..., start : start + self.t_in, :]) / (
-                nz.std[..., start : start + self.t_in, :] + 1e-6
-            )
+            x = (x - nz.mean[0]) / (nz.std[0] + 1e-6)
 
         ds = self.downsamples[dataset_idx]
         if tuple(ds) != (1, 1):
