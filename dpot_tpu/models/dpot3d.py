@@ -94,6 +94,70 @@ class Block3D(nn.Module):
         return x + residual
 
 
+class PatchConv3D(nn.Module):
+    """Conv3d(k=p, s=p) as space-to-depth + matmul (see 2D PatchConv for
+    rationale; the win is larger in 3D where XLA's Conv3d lowering is
+    weaker). Kernel layout (p,p,p,C,E) matches nn.Conv. Accepts
+    (N, X, Y, Z, C) or (B, X, Y, Z, T, C) with T riding along."""
+
+    features: int
+    patch_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size
+        has_t = x.ndim == 6
+        if has_t:
+            B, H, W, L, T, C = x.shape
+        else:
+            B, H, W, L, C = x.shape
+        kernel = self.param(
+            "kernel", torch_linear_weight(), (p, p, p, C, self.features)
+        )
+        bias = self.param("bias", torch_bias(C * p**3), (self.features,))
+        h, w, l = H // p, W // p, L // p
+        k = kernel.reshape(p**3 * C, self.features).astype(self.dtype)
+        if has_t:
+            x = x.reshape(B, h, p, w, p, l, p, T, C)
+            x = jnp.transpose(x, (0, 1, 3, 5, 7, 2, 4, 6, 8))
+            y = x.reshape(B, h, w, l, T, p**3 * C).astype(self.dtype) @ k
+        else:
+            x = x.reshape(B, h, p, w, p, l, p, C)
+            x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))
+            y = x.reshape(B, h, w, l, p**3 * C).astype(self.dtype) @ k
+        return y + bias.astype(self.dtype)
+
+
+class UnpatchConv3D(nn.Module):
+    """ConvTranspose3d(k=p, s=p) as matmul + depth-to-space; kernel layout
+    (p,p,p,D,O)."""
+
+    features: int
+    patch_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, h, w, l, D)
+        p = self.patch_size
+        B, h, w, l, D = x.shape
+        kernel = self.param(
+            "kernel", torch_linear_weight(fan_in=D * p**3),
+            (p, p, p, D, self.features),
+        )
+        bias = self.param("bias", torch_bias(D), (self.features,))
+        k = (
+            jnp.transpose(kernel, (3, 0, 1, 2, 4))
+            .reshape(D, p**3 * self.features)
+            .astype(self.dtype)
+        )
+        y = x.astype(self.dtype) @ k
+        y = y.reshape(B, h, w, l, p, p, p, self.features)
+        y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+        y = y.reshape(B, h * p, w * p, l * p, self.features)
+        return y + bias.astype(self.dtype)
+
+
 class PatchEmbed3D(nn.Module):
     patch_size: int
     embed_dim: int
@@ -102,19 +166,15 @@ class PatchEmbed3D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (N, X, Y, Z, C_in)
-        p = self.patch_size
-        c_in = x.shape[-1]
-        x = nn.Conv(
-            self.embed_dim, kernel_size=(p, p, p), strides=(p, p, p),
-            padding="VALID", kernel_init=torch_linear_weight(),
-            bias_init=torch_bias(c_in * p**3), dtype=self.dtype, name="proj1",
+    def __call__(self, x):  # (..., X, Y, Z, C_in)
+        x = PatchConv3D(
+            self.embed_dim, self.patch_size, dtype=self.dtype, name="proj1"
         )(x)
         x = get_activation(self.act)(x)
-        x = nn.Conv(
-            self.out_dim, kernel_size=(1, 1, 1),
-            kernel_init=torch_linear_weight(), bias_init=torch_bias(self.embed_dim),
-            dtype=self.dtype, name="proj2",
+        x = nn.Dense(
+            self.out_dim, kernel_init=torch_linear_weight(),
+            bias_init=torch_bias(self.embed_dim), dtype=self.dtype,
+            name="proj2",
         )(x)
         return x
 
@@ -176,19 +236,17 @@ class DPOTNet3D(nn.Module):
         )
         x = jnp.concatenate([x, grid], axis=-1)  # (B,X,Y,Z,T,C+4)
 
-        x = jnp.transpose(x, (0, 4, 1, 2, 3, 5)).reshape(B * T, H, W, L, C + 4)
         x = PatchEmbed3D(
             patch_size=p, embed_dim=self.out_channels * p + 4,
             out_dim=self.embed_dim, act=self.act, dtype=self.dtype,
             name="patch_embed",
-        )(x)  # (B*T, h, h, h, D)
+        )(x)  # (B, h, h, h, T, D)
 
         pos_embed = self.param(
             "pos_embed", trunc_normal(0.02), (1, hl, hl, hl, self.embed_dim)
         )
-        x = x + pos_embed
+        x = x + pos_embed[:, :, :, :, None, :]
 
-        x = x.reshape(B, T, hl, hl, hl, self.embed_dim).transpose(0, 2, 3, 4, 1, 5)
         x = TimeAggregator(
             n_timesteps=self.in_timesteps, out_channels=self.embed_dim,
             time_agg=self.time_agg, dtype=self.dtype, name="time_agg",
@@ -219,22 +277,18 @@ class DPOTNet3D(nn.Module):
             if j < 2:
                 ct = act(ct)
 
-        x = nn.ConvTranspose(
-            self.out_layer_dim, kernel_size=(p, p, p), strides=(p, p, p),
-            padding="VALID",
-            kernel_init=torch_linear_weight(fan_in=self.embed_dim * p**3),
-            bias_init=torch_bias(self.embed_dim), dtype=self.dtype,
-            name="out_deconv",
+        x = UnpatchConv3D(
+            self.out_layer_dim, p, dtype=self.dtype, name="out_deconv"
         )(x)
         x = act(x)
-        x = nn.Conv(
-            self.out_layer_dim, kernel_size=(1, 1, 1),
+        x = nn.Dense(
+            self.out_layer_dim,
             kernel_init=torch_linear_weight(), bias_init=torch_bias(self.out_layer_dim),
             dtype=self.dtype, name="out_conv1",
         )(x)
         x = act(x)
-        x = nn.Conv(
-            self.out_channels * self.out_timesteps, kernel_size=(1, 1, 1),
+        x = nn.Dense(
+            self.out_channels * self.out_timesteps,
             kernel_init=torch_linear_weight(), bias_init=torch_bias(self.out_layer_dim),
             dtype=self.dtype, name="out_conv2",
         )(x)

@@ -84,3 +84,44 @@ def test_timeagg_matmul_matches_einsum():
     want = jnp.einsum("tij,...ti->...j", w, x * jnp.cos(t @ gamma))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4,
                                rtol=1e-4)
+
+
+def test_patchconv3d_matches_conv3d():
+    from dpot_tpu.models.dpot3d import PatchConv3D
+
+    rng = np.random.default_rng(4)
+    p, C, E = 2, 3, 8
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, C)), jnp.float32)
+    pc = PatchConv3D(E, p)
+    params = pc.init(jax.random.key(0), x)
+    got = pc.apply(params, x)
+    conv = nn.Conv(E, kernel_size=(p, p, p), strides=(p, p, p), padding="VALID")
+    want = conv.apply({"params": dict(params["params"])}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_unpatchconv3d_matches_torch():
+    import torch
+
+    from dpot_tpu.models.dpot3d import UnpatchConv3D
+
+    torch.manual_seed(2)
+    D, O, p = 6, 4, 2
+    tconv = torch.nn.ConvTranspose3d(D, O, kernel_size=p, stride=p)
+    x = np.random.default_rng(5).standard_normal((1, 4, 4, 4, D)).astype(np.float32)
+    with torch.no_grad():
+        want = (
+            tconv(torch.from_numpy(x).permute(0, 4, 1, 2, 3))
+            .permute(0, 2, 3, 4, 1)
+            .numpy()
+        )
+    w = tconv.state_dict()["weight"].numpy()  # (D, O, p, p, p)
+    kernel = np.transpose(w, (2, 3, 4, 0, 1))  # (p,p,p,D,O), no flip
+    up = UnpatchConv3D(O, p)
+    got = up.apply(
+        {"params": {"kernel": jnp.asarray(kernel),
+                    "bias": jnp.asarray(tconv.state_dict()["bias"].numpy())}},
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-4)
