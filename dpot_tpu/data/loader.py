@@ -2,9 +2,11 @@
 
 Replaces torch DataLoader(num_workers=8) in the reference entry scripts
 (train_temporal.py:108-109). HDF5/numpy reads release the GIL, so a thread
-pool saturates host IO; batches are handed to JAX as stacked numpy arrays
-and (optionally) pre-transferred to device asynchronously so the TPU never
-waits on the host (SURVEY.md §7 hard part (d)).
+pool saturates host IO; a bounded queue keeps `prefetch` batches ready
+ahead of the training loop. Device transfer happens in the loop via
+jax.device_put, which dispatches asynchronously — combined with the loop's
+one-step-lagged metric fetch (train/loop.py), host IO, H2D transfer and
+TPU compute all overlap (SURVEY.md §7 hard part (d)).
 """
 
 from __future__ import annotations
