@@ -294,6 +294,17 @@ class SteadyDataset2D:
         msk[::kx, ::ky, :, : size_orig[-1]] = 1.0
         return msk
 
+    def shuffle_channels(
+        self, x: np.ndarray, y: np.ndarray, rng: np.random.Generator
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Channel-permutation augmentation (reference griddataset.py:
+        SteadyDataset2D.shuffle_channels — swap two random channels in
+        both input and target)."""
+        i1, i2 = rng.permutation(x.shape[-1])[:2]
+        x[..., [i1, i2]] = x[..., [i2, i1]]
+        y[..., [i1, i2]] = y[..., [i2, i1]]
+        return x, y
+
     def __len__(self) -> int:
         return int(self.n_size)
 

@@ -234,6 +234,25 @@ def ifft2_pair(
     return yr / n, yi / n
 
 
+def fft3_pair(
+    x_re: jax.Array, x_im: jax.Array | None = None,
+    axes: tuple[int, int, int] = (-3, -2, -1), backend: str | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Full (complex) 3D FFT over `axes`; x_im=None means real input.
+    Unscaled ('backward' forward convention)."""
+    backend = backend or default_backend()
+    if backend == "xla":
+        z = x_re if x_im is None else jax.lax.complex(x_re, x_im)
+        f = jnp.fft.fftn(z, axes=axes)
+        return f.real, f.imag
+    if x_im is None:
+        x_im = jnp.zeros_like(x_re)
+    re, im = x_re, x_im
+    for a in axes:
+        re, im = _fft_axis(re, im, a % x_re.ndim)
+    return re, im
+
+
 def rfft3_pair(
     x: jax.Array, axes: tuple[int, int, int] = (1, 2, 3), norm: str = "ortho",
     backend: str | None = None,

@@ -148,12 +148,14 @@ def spectral_band_mse_2d(
     radial-bin scatter via a precomputed one-hot binning matmul —
     jit-friendly and MXU-shaped.
     """
+    from dpot_tpu.ops.fourier import fft2_pair
+
     p = jnp.transpose(pred, (0, 4, 1, 2, 3))  # B, C, X, Y, T
     t = jnp.transpose(target, (0, 4, 1, 2, 3))
     nb_, nc, nx, ny, nt = p.shape
-    pf = jnp.fft.fftn(p.astype(jnp.float32), axes=(2, 3))
-    tf = jnp.fft.fftn(t.astype(jnp.float32), axes=(2, 3))
-    err = jnp.square(jnp.abs(pf - tf))  # B, C, X, Y, T
+    # full fft via the pair API (the tunneled TPU has no FFT lowering)
+    dr, di = fft2_pair((p - t).astype(jnp.float32), axes=(2, 3))
+    err = jnp.square(dr) + jnp.square(di)  # B, C, X, Y, T
 
     nbin = min(nx // 2, ny // 2)
     ii = jnp.arange(nx // 2)[:, None]
@@ -165,6 +167,70 @@ def spectral_band_mse_2d(
         "bcxyt,xyn->bcnt", err[:, :, : nx // 2, : ny // 2], onehot
     )
     ef = jnp.sqrt(jnp.mean(binned, axis=0)) / (nx * ny)  # C, nbin, T
+    low = jnp.mean(ef[:, :ilow], axis=1).T
+    mid = jnp.mean(ef[:, ilow:ihigh], axis=1).T
+    high = jnp.mean(ef[:, ihigh:], axis=1).T
+    return low, mid, high
+
+
+def boundary_rmse_1d(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """1D boundary RMSE (reference compute_fourier_error len(idxs)==4 branch,
+    utils/criterion.py:284-286). pred/target: (B, X, T, C)."""
+    p = jnp.transpose(pred, (0, 3, 1, 2))  # B, C, X, T
+    t = jnp.transpose(target, (0, 3, 1, 2))
+    err = jnp.square(p[:, :, 0] - t[:, :, 0]) + jnp.square(
+        p[:, :, -1] - t[:, :, -1]
+    )
+    return jnp.mean(jnp.sqrt(err / 2.0), axis=0)  # (C, T)
+
+
+def boundary_rmse_3d(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """3D boundary RMSE (reference utils/criterion.py:295-307).
+    pred/target: (B, X, Y, Z, T, C)."""
+    p = jnp.transpose(pred, (0, 5, 1, 2, 3, 4))  # B,C,X,Y,Z,T
+    t = jnp.transpose(target, (0, 5, 1, 2, 3, 4))
+    B, C = p.shape[0], p.shape[1]
+    nx, ny, nz, nt = p.shape[2], p.shape[3], p.shape[4], p.shape[5]
+
+    def face_sq(a, b, axis0):
+        sl0 = [slice(None)] * p.ndim
+        sl1 = [slice(None)] * p.ndim
+        sl0[axis0], sl1[axis0] = 0, -1
+        e = jnp.square(a[tuple(sl0)] - b[tuple(sl0)]) + jnp.square(
+            a[tuple(sl1)] - b[tuple(sl1)]
+        )
+        return jnp.sum(e.reshape(B, C, -1, nt), axis=2)
+
+    err = face_sq(p, t, 2) + face_sq(p, t, 3) + face_sq(p, t, 4)
+    err = err / (2 * nx * ny + 2 * ny * nz + 2 * nz * nx)
+    return jnp.mean(jnp.sqrt(err), axis=0)  # (C, T)
+
+
+def spectral_band_mse_3d(
+    pred: jax.Array, target: jax.Array, ilow: int = 4, ihigh: int = 12
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """3D binned spectral MSE (reference utils/criterion.py:327-344),
+    radial binning as a one-hot contraction. pred/target:
+    (B, X, Y, Z, T, C). Returns (low, mid, high) each (T, C)."""
+    from dpot_tpu.ops.fourier import fft3_pair
+
+    p = jnp.transpose(pred, (0, 5, 1, 2, 3, 4))
+    t = jnp.transpose(target, (0, 5, 1, 2, 3, 4))
+    _, _, nx, ny, nz, _ = p.shape
+    dr, di = fft3_pair((p - t).astype(jnp.float32), axes=(2, 3, 4))
+    err = jnp.square(dr) + jnp.square(di)
+    nbin = min(nx // 2, ny // 2, nz // 2)
+    ii = jnp.arange(nx // 2)[:, None, None]
+    jj = jnp.arange(ny // 2)[None, :, None]
+    kk = jnp.arange(nz // 2)[None, None, :]
+    radial = jnp.floor(jnp.sqrt(ii**2 + jj**2 + kk**2)).astype(jnp.int32)
+    onehot = jax.nn.one_hot(radial, nbin, dtype=jnp.float32)
+    binned = jnp.einsum(
+        "bcxyzt,xyzn->bcnt",
+        err[:, :, : nx // 2, : ny // 2, : nz // 2],
+        onehot,
+    )
+    ef = jnp.sqrt(jnp.mean(binned, axis=0)) / (nx * ny * nz)  # C, nbin, T
     low = jnp.mean(ef[:, :ilow], axis=1).T
     mid = jnp.mean(ef[:, ilow:ihigh], axis=1).T
     high = jnp.mean(ef[:, ihigh:], axis=1).T

@@ -84,11 +84,46 @@ class PointWiseUnitTransformer:
         return (X - self.mean[..., component]) / (self.std[..., component] + self.eps)
 
 
+class QuantileTransformer:
+    """Per-channel quantile (rank-gaussian/uniform) transformer — port of
+    the reference's TorchQuantileTransformer + custom Interp1d
+    (utils/normalizer.py:194-463) on numpy: fit per-channel quantiles,
+    transform by piecewise-linear interpolation onto [0,1] (or its
+    inverse). Invertible within the fitted range."""
+
+    def __init__(self, X: np.ndarray, n_quantiles: int = 1000):
+        X = np.asarray(X, dtype=np.float32)
+        C = X.shape[-1]
+        flat = X.reshape(-1, C)
+        n_q = min(n_quantiles, flat.shape[0])
+        self.references = np.linspace(0.0, 1.0, n_q, dtype=np.float32)
+        self.quantiles = np.stack(
+            [np.quantile(flat[:, c], self.references) for c in range(C)],
+            axis=-1,
+        )  # (n_q, C)
+
+    def transform(self, X, inverse=False, component="all"):
+        X = np.asarray(X, dtype=np.float32)
+        C = X.shape[-1]
+        out = np.empty_like(X)
+        for c in range(C):
+            if inverse:
+                out[..., c] = np.interp(
+                    X[..., c], self.references, self.quantiles[:, c]
+                )
+            else:
+                out[..., c] = np.interp(
+                    X[..., c], self.quantiles[:, c], self.references
+                )
+        return out
+
+
 def init_normalizer(kind: str, X: np.ndarray, **kw):
     table = {
         "unit": UnitTransformer,
         "minmax": MinMaxTransformer,
         "pointwise": PointWiseUnitTransformer,
+        "quantile": QuantileTransformer,
         "identity": IdentityTransformer,
         "none": IdentityTransformer,
     }

@@ -89,3 +89,66 @@ def test_rel_lp_metric_shapes():
     y = rng.standard_normal((2, 5, 5, 3)).astype(np.float32)
     assert rel_lp_metric(jnp.asarray(x), jnp.asarray(y)).shape == ()
     assert rel_lp_metric(jnp.asarray(x), jnp.asarray(y), per_channel=True).shape == (3,)
+
+
+def test_boundary_and_spectral_3d_1d():
+    from dpot_tpu.utils.criterion import (
+        boundary_rmse_1d,
+        boundary_rmse_3d,
+        spectral_band_mse_3d,
+    )
+
+    rng = np.random.default_rng(5)
+    # 1D: golden vs reference formula
+    p1 = rng.standard_normal((3, 8, 2, 2)).astype(np.float32)
+    t1 = rng.standard_normal((3, 8, 2, 2)).astype(np.float32)
+    got = np.asarray(boundary_rmse_1d(jnp.asarray(p1), jnp.asarray(t1)))
+    pt = torch.from_numpy(p1).permute(0, 3, 1, 2)
+    tt = torch.from_numpy(t1).permute(0, 3, 1, 2)
+    err = (pt[:, :, 0] - tt[:, :, 0]) ** 2 + (pt[:, :, -1] - tt[:, :, -1]) ** 2
+    want = torch.mean(torch.sqrt(err / 2.0), dim=0).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # 3D: shapes + finiteness (+ zero for identical fields)
+    p3 = rng.standard_normal((2, 8, 8, 8, 2, 2)).astype(np.float32)
+    bd = np.asarray(boundary_rmse_3d(jnp.asarray(p3), jnp.asarray(p3)))
+    assert bd.shape == (2, 2) and np.allclose(bd, 0)
+    lo, mid, hi = spectral_band_mse_3d(
+        jnp.asarray(p3), jnp.asarray(p3 * 0.5), ilow=1, ihigh=3
+    )
+    assert lo.shape == (2, 2)
+    assert np.isfinite(np.asarray(lo)).all() and np.asarray(lo).sum() > 0
+
+
+def test_spectral_band_2d_golden():
+    """Radial-binned spectral MSE vs an independent torch double loop
+    (reference compute_fourier_error 2D branch, criterion.py:314-326)."""
+    import math as mt
+
+    from dpot_tpu.utils.criterion import spectral_band_mse_2d
+
+    rng = np.random.default_rng(6)
+    B, X, Y, T, C = 2, 8, 8, 2, 2
+    p = rng.standard_normal((B, X, Y, T, C)).astype(np.float32)
+    t = rng.standard_normal((B, X, Y, T, C)).astype(np.float32)
+    lo, mid, hi = spectral_band_mse_2d(jnp.asarray(p), jnp.asarray(t),
+                                       ilow=1, ihigh=3)
+
+    pt = torch.from_numpy(p).permute(0, 4, 1, 2, 3)
+    tt = torch.from_numpy(t).permute(0, 4, 1, 2, 3)
+    pf = torch.fft.fftn(pt, dim=[2, 3])
+    tf = torch.fft.fftn(tt, dim=[2, 3])
+    _e = torch.abs(pf - tf) ** 2
+    nb = min(X // 2, Y // 2)
+    err_f = torch.zeros(B, C, nb, T)
+    for i in range(X // 2):
+        for j in range(Y // 2):
+            it = mt.floor(mt.sqrt(i**2 + j**2))
+            if it > nb - 1:
+                continue
+            err_f[:, :, it] += _e[:, :, i, j]
+    ef = torch.sqrt(torch.mean(err_f, dim=0)) / (X * Y)
+    want_lo = torch.mean(ef[:, :1], dim=1).T.numpy()
+    want_mid = torch.mean(ef[:, 1:3], dim=1).T.numpy()
+    np.testing.assert_allclose(np.asarray(lo), want_lo, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mid), want_mid, rtol=1e-4, atol=1e-6)

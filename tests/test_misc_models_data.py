@@ -53,3 +53,47 @@ def test_masked_dataset():
     x_msk, x, msk, _ = ds_t[0]
     assert x.shape[-2] == 1 + 4  # t_in-1 overlap + t_test
     np.testing.assert_allclose(x_msk[:, :, -1, :], -1.0)
+
+
+def test_steady_dataset(tmp_path, monkeypatch):
+    import h5py
+
+    from dpot_tpu.data.grid_dataset import SteadyDataset2D
+    from dpot_tpu.data.registry import DatasetSpec, register_dataset
+
+    monkeypatch.setenv("DPOT_DATA_ROOT", str(tmp_path))
+    rng = np.random.default_rng(0)
+    with h5py.File(tmp_path / "steady.hdf5", "w") as f:
+        f["x"] = rng.standard_normal((4, 12, 12, 2)).astype(np.float32)
+        f["y"] = rng.standard_normal((4, 12, 12, 2)).astype(np.float32)
+    register_dataset(DatasetSpec(
+        name="steady_t", train_path="steady.hdf5", test_path="steady.hdf5",
+        train_size=4, test_size=4, scatter_storage=False, t_test=1, t_in=1,
+        t_total=1, in_size=(12, 12), n_channels=2, downsample=(1, 1),
+    ))
+    ds = SteadyDataset2D("steady_t", res=16, n_channels=3, train=True)
+    x, y, msk, _ = ds[0]
+    assert x.shape == (16, 16, 1, 3)
+    assert y.shape == (16, 16, 1, 3)
+    np.testing.assert_allclose(x[..., 2], 1.0)  # ONES channel pad
+    # test split has the resolution/channel mask
+    ds_t = SteadyDataset2D("steady_t", res=16, n_channels=3, train=False)
+    _, _, msk, _ = ds_t[0]
+    # 16//12 = 1 -> stride-1 mask over the full grid, padded channel zeroed
+    assert (msk[..., 2] == 0).all() and msk.sum() == 16 * 16 * 2
+    # channel-shuffle augmentation
+    rng2 = np.random.default_rng(1)
+    x2, y2 = ds.shuffle_channels(x.copy(), y.copy(), rng2)
+    assert x2.shape == x.shape
+
+
+def test_quantile_transformer_roundtrip():
+    from dpot_tpu.utils.normalizer import QuantileTransformer
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((200, 4, 4, 2)).astype(np.float32) * 3 + 1
+    qt = QuantileTransformer(X, n_quantiles=100)
+    z = qt.transform(X)
+    assert 0.0 <= z.min() and z.max() <= 1.0
+    back = qt.transform(z, inverse=True)
+    np.testing.assert_allclose(back, X, atol=0.2, rtol=0.2)
