@@ -6,10 +6,13 @@ transpose-conv upsampling with skip concats, right-padding every spatial
 axis to a multiple of 16, coordinate-grid input channels (grid first, data
 second — unet.py:474), 1x1 output conv, zeros cls output (unet.py:534).
 
-Design deviation (documented): BatchNorm runs in batch-statistics mode
-(flax use_running_average=False) so the model stays a pure function —
-running averages are not tracked. Training semantics match; eval uses
-batch stats instead of running stats.
+BatchNorm matches torch.nn.BatchNorm2d (reference models/unet.py:235):
+train mode normalizes with batch statistics and tracks running averages
+(momentum 0.1, unbiased running var); eval mode normalizes with the
+tracked running statistics. Running stats live in the 'batch_stats'
+variable collection, which rides inside the same variables pytree the
+rest of the framework already passes around; the generic train step
+threads the mutated collection automatically (train/step.py).
 """
 
 from __future__ import annotations
@@ -27,21 +30,44 @@ from dpot_tpu.ops.initializers import torch_bias, torch_linear_weight
 Dtype = Any
 
 
-class _BatchStatNorm(nn.Module):
-    """BatchNorm in batch-statistics mode, stateless (no running averages):
-    normalize over (batch, spatial) per channel with learnable affine."""
+class BatchNorm(nn.Module):
+    """torch.nn.BatchNorm{1,2,3}d-compatible batch norm, channels-last.
 
+    train=True: normalize with the biased batch statistics over
+    (batch, spatial) and update running averages with torch's convention
+    (new = (1-momentum)*old + momentum*batch, where the running var update
+    uses the UNBIASED batch variance but normalization uses the biased
+    one). train=False: normalize with the running statistics — the
+    behavior the reference's eval path gets from nn.BatchNorm2d
+    (reference models/unet.py:235)."""
+
+    momentum: float = 0.1
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        axes = tuple(range(x.ndim - 1))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.mean(jnp.square(x32 - mean), axis=axes)
+            if not self.is_initializing():
+                n = float(np.prod([x.shape[a] for a in axes]))
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * jax.lax.stop_gradient(mean)
+                ra_var.value = (1 - m) * ra_var.value + m * jax.lax.stop_gradient(unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
         xn = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (xn * scale + bias).astype(x.dtype)
 
@@ -53,7 +79,7 @@ class _DoubleConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         act = get_activation(self.act)
         k = (3,) * self.n_dim
         for i in (1, 2):
@@ -62,7 +88,7 @@ class _DoubleConv(nn.Module):
                 kernel_init=torch_linear_weight(), dtype=self.dtype,
                 name=f"conv{i}",
             )(x)
-            x = _BatchStatNorm(name=f"norm{i}")(x)
+            x = BatchNorm(name=f"norm{i}")(x, train=train)
             x = act(x)
         return x
 
@@ -83,7 +109,7 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (B, spatial..., T, C)
+    def __call__(self, x, train: bool = False):  # (B, spatial..., T, C)
         n_dim = self.n_dim
         B = x.shape[0]
         spatial = x.shape[1:-2]
@@ -115,18 +141,20 @@ class UNet(nn.Module):
         x = jnp.pad(x, pads)
 
         f = self.width
-        enc1 = _DoubleConv(f, n_dim, self.act, self.dtype, name="enc1")(x)
+        enc1 = _DoubleConv(f, n_dim, self.act, self.dtype, name="enc1")(
+            x, train=train
+        )
         enc2 = _DoubleConv(f * 2, n_dim, self.act, self.dtype, name="enc2")(
-            _maxpool(enc1, n_dim)
+            _maxpool(enc1, n_dim), train=train
         )
         enc3 = _DoubleConv(f * 4, n_dim, self.act, self.dtype, name="enc3")(
-            _maxpool(enc2, n_dim)
+            _maxpool(enc2, n_dim), train=train
         )
         enc4 = _DoubleConv(f * 8, n_dim, self.act, self.dtype, name="enc4")(
-            _maxpool(enc3, n_dim)
+            _maxpool(enc3, n_dim), train=train
         )
         bott = _DoubleConv(f * 16, n_dim, self.act, self.dtype, name="bottleneck")(
-            _maxpool(enc4, n_dim)
+            _maxpool(enc4, n_dim), train=train
         )
 
         def up(z, feats, name):
@@ -139,19 +167,19 @@ class UNet(nn.Module):
 
         d = up(bott, f * 8, "upconv4")
         d = _DoubleConv(f * 8, n_dim, self.act, self.dtype, name="dec4")(
-            jnp.concatenate([d, enc4], axis=-1)
+            jnp.concatenate([d, enc4], axis=-1), train=train
         )
         d = up(d, f * 4, "upconv3")
         d = _DoubleConv(f * 4, n_dim, self.act, self.dtype, name="dec3")(
-            jnp.concatenate([d, enc3], axis=-1)
+            jnp.concatenate([d, enc3], axis=-1), train=train
         )
         d = up(d, f * 2, "upconv2")
         d = _DoubleConv(f * 2, n_dim, self.act, self.dtype, name="dec2")(
-            jnp.concatenate([d, enc2], axis=-1)
+            jnp.concatenate([d, enc2], axis=-1), train=train
         )
         d = up(d, f, "upconv1")
         d = _DoubleConv(f, n_dim, self.act, self.dtype, name="dec1")(
-            jnp.concatenate([d, enc1], axis=-1)
+            jnp.concatenate([d, enc1], axis=-1), train=train
         )
 
         # crop the padding back off

@@ -163,6 +163,44 @@ def dpot_params_from_torch(
     return {"params": p}
 
 
+def unet_params_from_torch(sd: Mapping[str, Any]) -> dict:
+    """Reference UNet state dict (models/unet.py:372-564) -> dpot_tpu UNet
+    variables {'params', 'batch_stats'}.
+
+    Torch module names: encoder{i}.enc{i}conv{j} / .enc{i}norm{j},
+    bottleneck.bottleneckconv{j}, decoder{i}.dec{i}conv{j}, upconv{i},
+    conv (the 1x1 head). BatchNorm running_mean/running_var map into the
+    'batch_stats' collection (num_batches_tracked is unused: torch only
+    reads it when momentum=None)."""
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def block(dst: str, tmod: str, tname: str) -> None:
+        p: dict[str, Any] = {}
+        s: dict[str, Any] = {}
+        for j in (1, 2):
+            p[f"conv{j}"] = _conv(sd, f"{tmod}.{tname}conv{j}")
+            p[f"norm{j}"] = {
+                "scale": _np(sd[f"{tmod}.{tname}norm{j}.weight"]),
+                "bias": _np(sd[f"{tmod}.{tname}norm{j}.bias"]),
+            }
+            s[f"norm{j}"] = {
+                "mean": _np(sd[f"{tmod}.{tname}norm{j}.running_mean"]),
+                "var": _np(sd[f"{tmod}.{tname}norm{j}.running_var"]),
+            }
+        params[dst] = p
+        stats[dst] = s
+
+    for i in (1, 2, 3, 4):
+        block(f"enc{i}", f"encoder{i}", f"enc{i}")
+        block(f"dec{i}", f"decoder{i}", f"dec{i}")
+        params[f"upconv{i}"] = _conv_transpose(sd, f"upconv{i}")
+    block("bottleneck", "bottleneck", "bottleneck")
+    params["out_conv"] = _conv(sd, "conv")
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a reference .pth checkpoint ({'args','model','optimizer'} or a
     bare state dict) into a plain numpy state dict."""

@@ -55,6 +55,13 @@ def make_train_step(
         t_ar = y.shape[-2]
         n_steps = max(t_ar // t_bundle, 1)
 
+        # models with running-average norms (UNet's BatchNorm) carry a
+        # 'batch_stats' collection in the variables tree; train mode
+        # mutates it, and the updated stats are threaded through the
+        # rollout and returned via aux
+        has_stats = hasattr(params, "keys") and "batch_stats" in params
+        stats = params["batch_stats"] if has_stats else None
+
         loss = 0.0
         cls_loss = 0.0
         cls_correct = 0.0
@@ -72,7 +79,14 @@ def make_train_step(
                 x = x + noise_scale * xnorm * jax.random.normal(
                     nrng, x.shape, x.dtype
                 )
-            im, cls_pred = apply_fn(params, x)
+            if has_stats:
+                (im, cls_pred), mut = apply_fn(
+                    {**params, "batch_stats": stats}, x, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = mut["batch_stats"]
+            else:
+                im, cls_pred = apply_fn(params, x)
             loss = loss + rel_lp_loss(im, y_s, msk)
             cls_loss = cls_loss + cross_entropy_sum(cls_pred, cls)
             cls_correct = cls_correct + jnp.sum(
@@ -90,6 +104,8 @@ def make_train_step(
             "cls_correct": cls_correct,
             "n_steps": jnp.asarray(n_steps, jnp.float32),
         }
+        if has_stats:
+            aux["batch_stats"] = stats
         return loss, aux
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
@@ -100,6 +116,12 @@ def make_train_step(
             state.params, state.apply_fn, batch, step_rng
         )
         new_state = state.apply_gradients(grads).replace(rng=rng)
+        if "batch_stats" in aux:
+            # running stats are state, not weights: overwrite whatever the
+            # optimizer did to those (zero-gradient) leaves with the values
+            # the forward pass tracked
+            new_params = {**new_state.params, "batch_stats": aux.pop("batch_stats")}
+            new_state = new_state.replace(params=new_params)
         # the fused optimizers compute the pre-clip global norm in-pass
         # (AdamState.grad_norm); recompute only for foreign optimizers
         opt_entries = (

@@ -79,6 +79,26 @@ def rel_lp_metric(
     return jnp.mean(losses)
 
 
+def rfne_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Relative Frobenius-norm error (reference RFNELoss,
+    utils/criterion.py:176-186):
+
+      RFNE(y, y_hat) = ||y_hat - y||_F / ||y||_F
+
+    with the norm taken over the spatial axes, leaving (batch, T, C), then
+    averaged. pred/target: (B, nx..., T, C).
+
+    Note: the reference body passes `dims[1:-2]` — a slice of *sizes*, not
+    axis indices — to torch.norm, which raises for any real input; the
+    docstring'd intent (norm over the nx^i axes) is what is implemented
+    here.
+    """
+    spatial_axes = tuple(range(1, pred.ndim - 2))
+    err = jnp.sqrt(jnp.sum(jnp.square(pred - target), axis=spatial_axes))
+    ref = jnp.sqrt(jnp.sum(jnp.square(target), axis=spatial_axes))
+    return jnp.mean(err / ref)
+
+
 def evaluator_metrics(
     pred: jax.Array, target: jax.Array, temporal: bool = False
 ) -> dict[str, jax.Array]:

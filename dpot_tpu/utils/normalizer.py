@@ -118,12 +118,136 @@ class QuantileTransformer:
         return out
 
 
+def interp1d(x, y, xnew):
+    """Differentiable piecewise-linear 1D interpolation (jax).
+
+    Port of the reference's custom Interp1d autograd Function
+    (utils/normalizer.py:194-353): searchsorted for the left neighbour,
+    index clamped to [0, N-2], then ynew = y[ind] + slope[ind]*(xnew-x[ind])
+    with an eps guard on the slope denominator — so values outside the x
+    range extrapolate linearly from the first/last segment. Unlike the
+    torch version, gradients (wrt y, x and xnew) come for free from jax AD
+    through the gather + arithmetic.
+
+    x, y: (N,) sorted knots and values; xnew: any shape. Returns xnew-shaped.
+    """
+    import jax.numpy as jnp
+
+    eps = jnp.finfo(y.dtype).eps
+    ind = jnp.clip(jnp.searchsorted(x, xnew) - 1, 0, x.shape[0] - 2)
+    slopes = (y[1:] - y[:-1]) / (eps + (x[1:] - x[:-1]))
+    return y[ind] + slopes[ind] * (xnew - x[ind])
+
+
+def fit_quantiles(X: np.ndarray, n_quantiles: int = 1000):
+    """Fit per-channel quantile tables the way sklearn's
+    QuantileTransformer does (the reference fits with sklearn and wraps the
+    tables in TorchQuantileTransformer, griddataset.py:736-749).
+
+    X: (..., C). Returns (references (n_q,), quantiles (n_q, C))."""
+    X = np.asarray(X, dtype=np.float32)
+    C = X.shape[-1]
+    flat = X.reshape(-1, C)
+    n_q = min(n_quantiles, flat.shape[0])
+    references = np.linspace(0.0, 1.0, n_q, dtype=np.float64)
+    quantiles = np.stack(
+        [np.nanpercentile(flat[:, c], references * 100) for c in range(C)],
+        axis=-1,
+    ).astype(np.float32)
+    # sklearn enforces monotonicity against fp noise
+    quantiles = np.maximum.accumulate(quantiles, axis=0)
+    return references.astype(np.float32), quantiles
+
+
+class DifferentiableQuantileTransformer:
+    """Quantile (rank-gaussian / rank-uniform) transformer with a full
+    gradient path — the TPU-native equivalent of the reference's
+    TorchQuantileTransformer + Interp1d autograd (utils/normalizer.py:
+    194-463). All ops are jax, so `transform` can sit inside a jitted /
+    differentiated model pipeline.
+
+    Semantics matched to the reference transform_col:
+    - forward: mean of ascending and flipped-descending interpolations
+      (handles repeated quantiles), bound snapping with the 1e-7
+      BOUNDS_THRESHOLD, then ndtri + clip for output_distribution='normal';
+    - inverse: ndtr first (normal), then interpolate references->quantiles,
+      bound snapping at 0/1.
+    """
+
+    BOUNDS_THRESHOLD = 1e-7
+
+    def __init__(self, X=None, output_distribution: str = "normal",
+                 n_quantiles: int = 1000, references=None, quantiles=None):
+        import jax.numpy as jnp
+
+        if references is None or quantiles is None:
+            references, quantiles = fit_quantiles(X, n_quantiles)
+        self.references = jnp.asarray(references, jnp.float32)  # (n_q,)
+        self.quantiles = jnp.asarray(quantiles, jnp.float32)  # (n_q, C)
+        self.output_distribution = output_distribution
+        # clip so inverse(transform(x)) stays consistent at the tails
+        # (reference utils/normalizer.py:370-373)
+        from jax.scipy.special import ndtri
+
+        t = self.BOUNDS_THRESHOLD - np.spacing(1)
+        self.clip_min = float(ndtri(t))
+        self.clip_max = float(ndtri(1 - t))
+
+    def _col(self, x, q, inverse: bool):
+        import jax.numpy as jnp
+        from jax.scipy.special import ndtr, ndtri
+
+        normal = self.output_distribution == "normal"
+        if not inverse:
+            lo_x, hi_x = q[0], q[-1]
+            lo_y, hi_y = 0.0, 1.0
+        else:
+            lo_x, hi_x = 0.0, 1.0
+            lo_y, hi_y = q[0], q[-1]
+            if normal:
+                x = ndtr(x)
+
+        if normal:
+            lo_idx = x - self.BOUNDS_THRESHOLD < lo_x
+            hi_idx = x + self.BOUNDS_THRESHOLD > hi_x
+        else:
+            lo_idx = x == lo_x
+            hi_idx = x == hi_x
+
+        if not inverse:
+            # two-sided interpolation mean (repeated-quantile handling,
+            # reference utils/normalizer.py:417-425)
+            out = 0.5 * (
+                interp1d(q, self.references, x)
+                - interp1d(-q[::-1], -self.references[::-1], -x)
+            )
+        else:
+            out = interp1d(self.references, q, x)
+
+        out = jnp.where(hi_idx, hi_y, jnp.where(lo_idx, lo_y, out))
+        if not inverse and normal:
+            out = jnp.clip(ndtri(out), self.clip_min, self.clip_max)
+        return out
+
+    def transform(self, X, inverse: bool = True, component: str = "all"):
+        import jax.numpy as jnp
+
+        X = jnp.asarray(X)
+        C = X.shape[-1]
+        cols = [
+            self._col(X[..., c], self.quantiles[:, c], inverse)
+            for c in range(C)
+        ]
+        return jnp.stack(cols, axis=-1)
+
+
 def init_normalizer(kind: str, X: np.ndarray, **kw):
     table = {
         "unit": UnitTransformer,
         "minmax": MinMaxTransformer,
         "pointwise": PointWiseUnitTransformer,
         "quantile": QuantileTransformer,
+        "quantile_diff": DifferentiableQuantileTransformer,
         "identity": IdentityTransformer,
         "none": IdentityTransformer,
     }

@@ -1,0 +1,149 @@
+"""UNet checkpoint interop + BatchNorm running-statistics parity vs the
+actual reference UNet (reference models/unet.py:372-564).
+
+Round-1 gap (VERDICT.md weak #1): the old _BatchStatNorm always used batch
+statistics, so eval-mode outputs diverged from a reference checkpoint.
+These tests pin: (a) eval-mode forward parity through the converter with
+non-trivial running stats, (b) torch-convention running-stat updates in
+train mode, (c) the generic train step threading the mutated stats."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference mount not available"
+)
+
+
+def load_reference_unet():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    mod = importlib.import_module("models.unet")
+    return mod
+
+
+def _make_ref_unet(torch):
+    ref = load_reference_unet()
+    torch.manual_seed(0)
+    m = ref.UNet(
+        n_dim=2, in_channels=2, in_timesteps=3, out_channels=2,
+        out_timesteps=1, width=8, in_shape=[32, 32], act="gelu", n_cls=4,
+    )
+    # make the running statistics non-trivial so eval parity actually
+    # proves running-stat (not batch-stat) semantics
+    m.train()
+    with torch.no_grad():
+        for i in range(3):
+            m(torch.randn(2, 32, 32, 3, 2, generator=torch.Generator().manual_seed(i)))
+    return m.eval()
+
+
+def test_unet_eval_forward_parity():
+    import torch
+
+    tmodel = _make_ref_unet(torch)
+    x = np.random.default_rng(0).standard_normal((2, 32, 32, 3, 2)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ty, tcls = tmodel(torch.from_numpy(x))
+
+    from dpot_tpu.models.unet import UNet
+    from dpot_tpu.train.interop import unet_params_from_torch
+
+    jmodel = UNet(
+        in_channels=6, out_channels=2, out_timesteps=1, width=8, n_dim=2,
+        act="gelu", n_cls=4,
+    )
+    variables = unet_params_from_torch(tmodel.state_dict())
+    jy, jcls = jmodel.apply(variables, x)  # train=False: running stats
+
+    np.testing.assert_allclose(
+        np.asarray(jy), ty.numpy(), rtol=2e-4, atol=2e-4
+    )
+    assert np.asarray(jcls).shape == tcls.numpy().shape
+
+
+def test_batchnorm_running_stat_update_matches_torch():
+    """One train-mode forward updates (mean, var) exactly like
+    torch.nn.BatchNorm2d (momentum 0.1, unbiased running var)."""
+    import torch
+
+    from dpot_tpu.models.unet import BatchNorm
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 6, 5, 3)).astype(np.float32)
+
+    tb = torch.nn.BatchNorm2d(3)
+    tb.train()
+    with torch.no_grad():
+        t_out = tb(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    t_out = np.transpose(t_out.numpy(), (0, 2, 3, 1))
+
+    jb = BatchNorm()
+    variables = jb.init(__import__("jax").random.key(0), x)
+    j_out, mut = jb.apply(variables, x, train=True, mutable=["batch_stats"])
+
+    np.testing.assert_allclose(np.asarray(j_out), t_out, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["mean"]),
+        tb.running_mean.numpy(), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["var"]),
+        tb.running_var.numpy(), rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_train_step_threads_batch_stats():
+    """The generic train step must carry the mutated batch_stats into the
+    new state (and not let the optimizer touch them)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpot_tpu.models.unet import UNet
+    from dpot_tpu.train.optimizers import build_optimizer
+    from dpot_tpu.train.schedules import build_schedule
+    from dpot_tpu.train.state import TrainState
+    from dpot_tpu.train.step import make_train_step
+
+    model = UNet(in_channels=5, out_channels=1, out_timesteps=1, width=4,
+                 n_dim=2, n_cls=2)
+    rng = np.random.default_rng(2)
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((2, 16, 16, 3, 1)), jnp.float32),
+        "y": jnp.asarray(rng.standard_normal((2, 16, 16, 1, 1)), jnp.float32),
+        "msk": jnp.ones((2, 16, 16, 1, 1), jnp.float32),
+        "cls": jnp.zeros((2,), jnp.int32),
+    }
+    variables = model.init(jax.random.key(0), batch["x"])
+    assert "batch_stats" in variables
+    stats0 = jax.device_get(variables["batch_stats"])
+
+    tx = build_optimizer("adam", build_schedule("step", 1e-3, 10, 2, 0))
+    state = TrainState.create(model.apply, variables, tx, jax.random.key(1))
+    step = make_train_step(t_bundle=1, noise_scale=0.0, donate=False)
+    state, aux = step(state, batch)
+
+    assert np.isfinite(float(aux["loss_step"]))
+    assert "batch_stats" not in aux  # popped, not leaked to metric fetches
+    stats1 = jax.device_get(state.params["batch_stats"])
+    diffs = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), stats0, stats1
+    )
+    assert max(jax.tree.leaves(diffs)) > 1e-6  # stats actually moved
+
+    # second step keeps compounding (threading, not re-initialization)
+    state, _ = step(state, batch)
+    stats2 = jax.device_get(state.params["batch_stats"])
+    diffs2 = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), stats1, stats2
+    )
+    assert max(jax.tree.leaves(diffs2)) > 1e-6
