@@ -1,17 +1,25 @@
-"""Benchmark: DPOT-M (122M) training steps/sec on one TPU chip.
+"""Benchmark: DPOT training/inference throughput on one TPU chip.
 
-Measures the jitted full training step (fwd + bwd + optimizer, AR rollout
-T_ar=1) for the DPOT-Medium preset at the reference's standard operating
-point: 128^2 grid, patch 8, modes 32, T_in=10 (configs/pretrain_medium.yaml),
-bf16 compute / fp32 params.
+Default (driver contract): measures the jitted full training step
+(fwd + bwd + optimizer, AR rollout T_ar=1) for DPOT-Medium at the
+reference's standard operating point — 128^2 grid, patch 8, modes 32,
+T_in=10 (configs/pretrain_medium.yaml), bf16 compute / fp32 params — and
+prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "steps/sec", "vs_baseline": N}
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+Knobs:
+  DPOT_BENCH_PRESET=Ti|S|M|L|H   model preset (default M)
+  DPOT_BENCH_BATCH=N             batch size (default 8)
+  DPOT_BENCH_LADDER=1            run the full ladder instead: train
+      Ti/S/M (B=8), M (B=16), L (B=4, remat), DPOT3D (64^3), and DPOT-M
+      AR-inference latency — one JSON line per entry (first line is the
+      headline M/B=8 metric for compatibility).
+  DPOT_BENCH_REMAT=1             force remat on the single-preset run
 
 vs_baseline compares against an estimated A100 PyTorch fp32 step rate for
 the same config (the reference publishes no numbers — BASELINE.md). The
-estimate (see A100_BASELINE_STEPS_PER_SEC) assumes TF32 matmuls, cuFFT,
-and the reference's permute-heavy NCHW data flow at batch 8.
+estimate (A100_BASELINE_STEPS_PER_SEC) assumes TF32 matmuls, cuFFT, and the
+reference's permute-heavy NCHW data flow at batch 8.
 """
 
 import json
@@ -21,31 +29,24 @@ import time
 
 import numpy as np
 
-# Estimated reference throughput: DPOT-M fwd+bwd+opt at batch 8 on one A100
-# (fp32/TF32 PyTorch). ~1.3 TFLOP/step at 20-40% utilization of 156 TFLOPS
-# TF32 => ~25-60ms/step; midpoint ~40ms -> 25 steps/s is optimistic for the
-# permute/FFT-bound reference; 10/s is the documented working estimate.
 A100_BASELINE_STEPS_PER_SEC = 10.0
 
-PRESET = os.environ.get("DPOT_BENCH_PRESET", "M")
-BATCH = int(os.environ.get("DPOT_BENCH_BATCH", "8"))
 WARMUP = 3
 ITERS = 20
 
-# Measured ladder on TPU v5e 1 chip (bf16 compute / fp32 params, 128^2,
-# T_in=10, fwd+bwd+lamb):
-#   Ti (7M)   B=8: ~?        S (30M)  B=8: ~?
-#   M (122M)  B=8: 40.3 steps/s (24.7 ms)    -> ~4x the A100 fp32 estimate
-#   L (509M)  B=4: 16.1 steps/s (62 ms, no remat)
-#   H (1.03B): exceeds one chip's HBM with fp32 Adam state; use the FSDP
-#   sharding (dpot_tpu/parallel/fsdp.py) over a multi-chip mesh.
+
+def _fetch(a):
+    """Device->host scalar fetch. Rank-0 transfers are UNIMPLEMENTED on the
+    tunneled TPU backend and block_until_ready does not reliably fence;
+    fetching a real (1,1) value is the only dependable fence."""
+    return float(np.asarray(a.reshape(1, 1))[0, 0])
 
 
-def main() -> None:
+def bench_train(preset: str, batch: int, remat: bool = False,
+                iters: int = ITERS) -> dict:
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from dpot_tpu.models import build_model
     from dpot_tpu.train.optimizers import build_optimizer
     from dpot_tpu.train.schedules import build_schedule
@@ -53,52 +54,148 @@ def main() -> None:
     from dpot_tpu.train.step import make_train_step
 
     model = build_model(
-        "DPOT", preset=PRESET, img_size=128, patch_size=8, in_channels=4,
+        "DPOT", preset=preset, img_size=128, patch_size=8, in_channels=4,
         in_timesteps=10, out_timesteps=1, modes=32, n_cls=12,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, remat=remat,
     )
     rng = np.random.default_rng(0)
-    batch = {
-        "x": jnp.asarray(rng.standard_normal((BATCH, 128, 128, 10, 4)), jnp.float32),
-        "y": jnp.asarray(rng.standard_normal((BATCH, 128, 128, 1, 4)), jnp.float32),
-        "msk": jnp.ones((BATCH, 128, 128, 1, 4), jnp.float32),
-        "cls": jnp.zeros((BATCH,), jnp.int32),
+    b = {
+        "x": jnp.asarray(rng.standard_normal((batch, 128, 128, 10, 4)), jnp.float32),
+        "y": jnp.asarray(rng.standard_normal((batch, 128, 128, 1, 4)), jnp.float32),
+        "msk": jnp.ones((batch, 128, 128, 1, 4), jnp.float32),
+        "cls": jnp.zeros((batch,), jnp.int32),
     }
-    params = model.init(jax.random.key(0), batch["x"])
+    params = model.init(jax.random.key(0), b["x"])
     tx = build_optimizer(
         "lamb", build_schedule("cycle", 1e-3, 1000, 10, 1), grad_clip=1.0
     )
     state = TrainState.create(model.apply, params, tx, jax.random.key(1))
     step = make_train_step(t_bundle=1, noise_scale=5e-4)
 
-    # NOTE: rank-0 device->host transfers are UNIMPLEMENTED on the tunneled
-    # TPU backend and block_until_ready does not reliably fence it; timing
-    # fences on an actual (1,1) value fetch instead.
-    def fetch(a):
-        return float(np.asarray(a.reshape(1, 1))[0, 0])
+    for _ in range(WARMUP):
+        state, aux = step(state, b)
+    _fetch(aux["loss_step"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state, b)
+    loss = _fetch(aux["loss_step"])
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss)
+    sps = 1.0 / dt
+    tag = "+remat" if remat else ""
+    return {
+        "metric": f"DPOT-{preset}{tag} train steps/sec/chip (B={batch}, 128^2, T_in=10, bf16)",
+        "value": round(sps, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(sps / A100_BASELINE_STEPS_PER_SEC, 3),
+    }
+
+
+def bench_train_3d(batch: int = 2, size: int = 64, iters: int = ITERS) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from dpot_tpu.models import build_model
+    from dpot_tpu.train.optimizers import build_optimizer
+    from dpot_tpu.train.schedules import build_schedule
+    from dpot_tpu.train.state import TrainState
+    from dpot_tpu.train.step import make_train_step, wrap_pred_only
+
+    model = build_model(
+        "DPOT3D", img_size=size, patch_size=8, in_channels=4,
+        in_timesteps=10, out_timesteps=1, modes=8, n_cls=12,
+        embed_dim=512, depth=4, n_blocks=4, dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    b = {
+        "x": jnp.asarray(
+            rng.standard_normal((batch, size, size, size, 10, 4)), jnp.float32
+        ),
+        "y": jnp.asarray(
+            rng.standard_normal((batch, size, size, size, 1, 4)), jnp.float32
+        ),
+        "msk": jnp.ones((batch, size, size, size, 1, 4), jnp.float32),
+        "cls": jnp.zeros((batch,), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), b["x"])
+    tx = build_optimizer(
+        "lamb", build_schedule("cycle", 1e-3, 1000, 10, 1), grad_clip=1.0
+    )
+    apply_fn = wrap_pred_only(model.apply, n_cls=12)
+    state = TrainState.create(apply_fn, params, tx, jax.random.key(1))
+    step = make_train_step(t_bundle=1, noise_scale=5e-4)
+    for _ in range(WARMUP):
+        state, aux = step(state, b)
+    _fetch(aux["loss_step"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state, b)
+    loss = _fetch(aux["loss_step"])
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss)
+    return {
+        "metric": f"DPOT3D train steps/sec/chip (B={batch}, {size}^3, bf16)",
+        "value": round(1.0 / dt, 3),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+    }
+
+
+def bench_inference(preset: str = "M", batch: int = 8, iters: int = 50) -> dict:
+    """Single AR-step inference latency (evaluate.py:197-199,222)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpot_tpu.models import build_model
+
+    model = build_model(
+        "DPOT", preset=preset, img_size=128, patch_size=8, in_channels=4,
+        in_timesteps=10, out_timesteps=1, modes=32, n_cls=12,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 128, 128, 10, 4)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+
+    @jax.jit
+    def ar_step(params, x):
+        pred, _ = model.apply(params, x)
+        return jnp.concatenate([x[..., 1:, :], pred], axis=-2)
 
     for _ in range(WARMUP):
-        state, aux = step(state, batch)
-    fetch(aux["loss_step"])
-
+        x = ar_step(params, x)
+    _fetch(x[..., 0, 0])
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, aux = step(state, batch)
-    loss = fetch(aux["loss_step"])
-    dt = (time.perf_counter() - t0) / ITERS
-    assert np.isfinite(loss)
+    for _ in range(iters):
+        x = ar_step(params, x)
+    _fetch(x[..., 0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "metric": f"DPOT-{preset} AR-inference latency (B={batch}, 128^2, bf16)",
+        "value": round(dt * 1e3, 3),
+        "unit": "ms/step",
+        "vs_baseline": None,
+    }
 
-    steps_per_sec = 1.0 / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"DPOT-{PRESET} train steps/sec/chip (B={BATCH}, 128^2, T_in=10, bf16)",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/sec",
-                "vs_baseline": round(steps_per_sec / A100_BASELINE_STEPS_PER_SEC, 3),
-            }
-        )
-    )
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    if os.environ.get("DPOT_BENCH_LADDER"):
+        print(json.dumps(bench_train("M", 8)), flush=True)
+        print(json.dumps(bench_train("Ti", 8)), flush=True)
+        print(json.dumps(bench_train("S", 8)), flush=True)
+        print(json.dumps(bench_train("M", 16)), flush=True)
+        print(json.dumps(bench_train("L", 4, remat=True, iters=10)), flush=True)
+        print(json.dumps(bench_train_3d()), flush=True)
+        print(json.dumps(bench_inference("M", 1)), flush=True)
+        print(json.dumps(bench_inference("M", 8)), flush=True)
+        return
+
+    preset = os.environ.get("DPOT_BENCH_PRESET", "M")
+    batch = int(os.environ.get("DPOT_BENCH_BATCH", "8"))
+    remat = bool(os.environ.get("DPOT_BENCH_REMAT"))
+    print(json.dumps(bench_train(preset, batch, remat=remat)))
 
 
 if __name__ == "__main__":

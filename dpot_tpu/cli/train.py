@@ -12,9 +12,14 @@ import sys
 
 def main(argv=None):
     sys.path.insert(0, ".")
+    from dpot_tpu.parallel.multihost import maybe_initialize
     from dpot_tpu.utils.config import load_config
     from dpot_tpu.train.loop import train
 
+    # multi-host launch (the reference's `accelerate launch`,
+    # parallel_trainer.py:66): a no-op unless the env declares a
+    # coordinator/process topology
+    maybe_initialize()
     cfg = load_config(argv)
     print("config", vars(cfg))
     return train(cfg)

@@ -54,7 +54,13 @@ def _open_sample_reader(spec: DatasetSpec, train: bool) -> Callable[[int], np.nd
 def _synthetic_sample(spec: DatasetSpec, train: bool, idx: int) -> np.ndarray:
     """Deterministic smooth pseudo-trajectory: low-frequency random field
     advected by a phase rotation in Fourier space."""
-    seed = abs(hash((spec.name, bool(train), int(idx)))) % (2**31)
+    # stable across processes (python's hash() is salted per process,
+    # which would give every multi-host worker a different corpus)
+    import zlib
+
+    seed = zlib.crc32(
+        f"{spec.name}|{bool(train)}|{int(idx)}".encode()
+    ) % (2**31)
     rng = np.random.default_rng(seed)
     size = spec.in_size
     T, C = spec.t_total, spec.n_channels

@@ -29,7 +29,17 @@ class DataLoader:
         num_workers: int = 8,
         seed: int = 0,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """batch_size is the GLOBAL batch size. With num_shards > 1
+        (multi-host: one process per host), every host walks the same
+        seed-deterministic global batch order but loads only its
+        contiguous 1/num_shards slice of each batch — the per-host input
+        for jax.make_array_from_process_local_data
+        (parallel/multihost.py). Global batches that don't divide
+        num_shards evenly are skipped on the sharded path (same data on
+        every host is the invariant that matters)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,6 +47,8 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.num_shards = max(1, num_shards)
+        self.shard_index = shard_index
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -58,6 +70,23 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[tuple]:
         batches = self._batches()
+        # (global_base, ids) pairs; the global base keeps each item's
+        # per-item rng stream identical whether or not loading is sharded
+        # across hosts
+        pairs = []
+        base = 0
+        for b in batches:
+            pairs.append((base, b))
+            base += len(b)
+        if self.num_shards > 1:
+            sharded = []
+            for gbase, b in pairs:
+                per, rem = divmod(len(b), self.num_shards)
+                if per == 0 or rem:
+                    continue
+                lo = self.shard_index * per
+                sharded.append((gbase + lo, b[lo : lo + per]))
+            pairs = sharded
         rng_seed = self.seed * 100003 + self._epoch
         self._epoch += 1
 
@@ -81,12 +110,10 @@ class DataLoader:
 
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                base = 0
-                for b in batches:
+                for gbase, b in pairs:
                     if stop.is_set():
                         return
-                    q.put(fetch_batch(pool, b, base))
-                    base += len(b)
+                    q.put(fetch_batch(pool, b, gbase))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -12,12 +12,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def _linear_axis_weights(n_in: int, n_out: int):
-    """Indices/weights for 1D linear resize with half-pixel centers."""
+def _linear_axis_weights(n_in: int, n_out: int, align_corners: bool = False):
+    """Indices/weights for 1D linear resize. align_corners=False uses
+    half-pixel centers; True maps endpoints to endpoints (both exactly as
+    torch.nn.functional.interpolate)."""
     if n_in == n_out:
         idx0 = np.arange(n_in)
         return idx0, idx0, np.ones(n_in, dtype=np.float32)
-    x = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    if align_corners:
+        x = np.arange(n_out, dtype=np.float64) * ((n_in - 1) / max(n_out - 1, 1))
+    else:
+        x = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
     x = np.clip(x, 0.0, n_in - 1.0)
     i0 = np.floor(x).astype(np.int64)
     i1 = np.minimum(i0 + 1, n_in - 1)
@@ -25,15 +30,17 @@ def _linear_axis_weights(n_in: int, n_out: int):
     return i0, i1, 1.0 - w1
 
 
-def resize_linear_nd(x: np.ndarray, out_size: tuple[int, ...]) -> np.ndarray:
+def resize_linear_nd(
+    x: np.ndarray, out_size: tuple[int, ...], align_corners: bool = False
+) -> np.ndarray:
     """Resize the leading len(out_size) axes of x by separable linear
-    interpolation (align_corners=False). Trailing axes are untouched."""
+    interpolation. Trailing axes are untouched."""
     x = np.asarray(x, dtype=np.float32)
     for axis, n_out in enumerate(out_size):
         n_in = x.shape[axis]
         if n_in == n_out:
             continue
-        i0, i1, w0 = _linear_axis_weights(n_in, n_out)
+        i0, i1, w0 = _linear_axis_weights(n_in, n_out, align_corners)
         a = np.take(x, i0, axis=axis)
         b = np.take(x, i1, axis=axis)
         shape = [1] * x.ndim

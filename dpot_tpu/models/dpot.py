@@ -50,7 +50,13 @@ class GroupNorm(nn.Module):
 
 class AFNO2D(nn.Module):
     """Adaptive FNO spectral mixer. Parameters laid out exactly as the
-    reference (models/dpot.py:45-48) for checkpoint interop."""
+    reference (models/dpot.py:45-48) for checkpoint interop.
+
+    spatial_mesh: when set (and its 'spatial' axis is >1), the mixer runs
+    the pencil-decomposed distributed FFT (parallel/dist_fft.py) with the
+    latent H axis sharded over that mesh axis — the sequence-parallel
+    analogue that lets >128^2 native-resolution models exceed one chip
+    (the reference instead downscales, griddataset.py:96)."""
 
     width: int
     num_blocks: int = 8
@@ -58,6 +64,8 @@ class AFNO2D(nn.Module):
     hidden_size_factor: int = 1
     act: str = "gelu"
     dtype: Dtype = jnp.float32
+    spatial_mesh: Any = None
+    spatial_axis: str = "spatial"
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
@@ -70,6 +78,24 @@ class AFNO2D(nn.Module):
         b1 = self.param("b1", scaled_uniform(scale), (2, nb, bs * f))
         w2 = self.param("w2", scaled_uniform(scale), (2, nb, bs * f, bs))
         b2 = self.param("b2", scaled_uniform(scale), (2, nb, bs))
+        mesh = self.spatial_mesh
+        if mesh is not None and mesh.shape[self.spatial_axis] > 1:
+            from dpot_tpu.parallel.dist_fft import afno_filter_2d_sharded
+
+            # split B over 'data' too when it divides (dp x sp); otherwise
+            # replicate the batch within each spatial group
+            batch_axis = None
+            if (
+                "data" in mesh.axis_names
+                and mesh.shape["data"] > 1
+                and x.shape[0] % mesh.shape["data"] == 0
+            ):
+                batch_axis = "data"
+            return afno_filter_2d_sharded(
+                x, w1, b1, w2, b2, self.modes, get_activation(self.act),
+                mesh=mesh, axis_name=self.spatial_axis,
+                batch_axis=batch_axis,
+            )
         return afno_filter_2d(
             x, w1, b1, w2, b2, self.modes, get_activation(self.act),
             compute_dtype=self.dtype,
@@ -88,6 +114,7 @@ class Block(nn.Module):
     double_skip: bool = False
     act: str = "gelu"
     dtype: Dtype = jnp.float32
+    spatial_mesh: Any = None
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
@@ -98,7 +125,8 @@ class Block(nn.Module):
         x = GroupNorm(name="norm1")(x)
         x = AFNO2D(
             width=self.width, num_blocks=self.num_blocks, modes=self.modes,
-            act=self.act, dtype=self.dtype, name="filter",
+            act=self.act, dtype=self.dtype, spatial_mesh=self.spatial_mesh,
+            name="filter",
         )(x)
         if self.double_skip:
             x = x + residual
@@ -271,6 +299,9 @@ class DPOTNet(nn.Module):
     time_agg: str = "exp_mlp"
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # mesh with a 'spatial' axis > 1 => pencil-decomposed AFNO (sp x dp);
+    # see AFNO2D.spatial_mesh
+    spatial_mesh: Any = None
 
     @nn.compact
     def __call__(self, x):  # (B, X, Y, T, C)
@@ -349,6 +380,7 @@ class DPOTNet(nn.Module):
                 double_skip=False,
                 act=self.act,
                 dtype=self.dtype,
+                spatial_mesh=self.spatial_mesh,
                 name=f"blocks_{i}",
             )(x)
 

@@ -179,18 +179,37 @@ def afno_filter_2d(
         A, Ainv = _combined_spectral_ops(H, W, kh, kw)
         K = kh * kw
         xs = x32.reshape(B, H * W, C)
-        z = jnp.einsum("mn,bnc->bmc", jnp.asarray(A), xs)  # (B, 2K, C)
+        # bf16 compute: run the DFT matmuls with bf16 inputs / f32
+        # accumulation — the MXU does bf16 x bf16 -> f32 natively at full
+        # rate, while an f32 x f32 matmul costs multiple passes. The trunk
+        # activations are already bf16-rounded, so this loses nothing the
+        # model hasn't already lost (the f32 default path is untouched and
+        # is what the golden parity tests pin).
+        mm_dtype = (
+            jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+        )
+        z = jnp.einsum(
+            "mn,bnc->bmc",
+            jnp.asarray(A).astype(mm_dtype),
+            xs.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        )  # (B, 2K, C) f32
         cr = z[:, :K].reshape(B * K, nb, bs)
         ci = z[:, K:].reshape(B * K, nb, bs)
         o_re, o_im = afno_mode_mlp(cr, ci, w1, b1, w2, b2, act, compute_dtype)
         o = jnp.concatenate(
             [
-                o_re.astype(jnp.float32).reshape(B, K, C),
-                o_im.astype(jnp.float32).reshape(B, K, C),
+                o_re.reshape(B, K, C),
+                o_im.reshape(B, K, C),
             ],
             axis=1,
-        )
-        y = jnp.einsum("nm,bmc->bnc", jnp.asarray(Ainv), o).reshape(B, H, W, C)
+        ).astype(mm_dtype)
+        y = jnp.einsum(
+            "nm,bmc->bnc",
+            jnp.asarray(Ainv).astype(mm_dtype),
+            o,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, H, W, C)
         return (y + x32).astype(x.dtype)
     fr, fi = rfft2_pair(x32, axes=(1, 2), norm="ortho")  # (B, H, W//2+1, C)
 

@@ -48,9 +48,16 @@ def afno_filter_2d_sharded(
     act: Callable,
     mesh: Mesh,
     axis_name: str = "spatial",
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """AFNO 2D mixer with H sharded over `axis_name`. x: (B, H, W, C)
-    global; H % axis_size == 0 required."""
+    global; H % axis_size == 0 required.
+
+    batch_axis: optional mesh axis the batch is data-parallel over. When
+    set, the shard_map splits B over it too (each data group runs its own
+    pencil FFT; the all_to_alls stay within a 'spatial' subgroup), which
+    is what the model-integrated dp x sp path uses. When None the batch
+    axis is replicated across 'data' (standalone-op usage)."""
     B, H, W, C = x.shape
     s = mesh.shape[axis_name]
     assert H % s == 0, f"H={H} must divide spatial axis {s}"
@@ -63,7 +70,8 @@ def afno_filter_2d_sharded(
     scale = 1.0 / np.sqrt(H * W)
 
     def local(x, w1, b1, w2, b2):
-        # x: (B, H/s, W, C)
+        # x: (Bl, H/s, W, C) with Bl = B / (batch_axis size)
+        Bl = x.shape[0]
         idx = jax.lax.axis_index(axis_name)
         x32 = x.astype(jnp.float32)
 
@@ -84,13 +92,13 @@ def afno_filter_2d_sharded(
 
         # 4) mode MLP on every local mode, then mask to the kept corner
         wfs = Wfp // s
-        n_local = B * H * wfs
+        n_local = Bl * H * wfs
         o_re, o_im = afno_mode_mlp(
             re.reshape(n_local, nb, bs), im.reshape(n_local, nb, bs),
             w1, b1, w2, b2, act,
         )
-        o_re = o_re.reshape(B, H, wfs, C)
-        o_im = o_im.reshape(B, H, wfs, C)
+        o_re = o_re.reshape(Bl, H, wfs, C)
+        o_im = o_im.reshape(Bl, H, wfs, C)
         row_keep = (jnp.arange(H) < kh)[None, :, None, None]
         gcol = idx * wfs + jnp.arange(wfs)
         col_keep = (gcol < kw)[None, None, :, None]
@@ -112,7 +120,7 @@ def afno_filter_2d_sharded(
         y = _irfft_axis(yr, yi, 2, W) * scale
         return (y + x32).astype(x.dtype)
 
-    spec = P(None, axis_name, None, None)
+    spec = P(batch_axis, axis_name, None, None)
     return jax.shard_map(
         local,
         mesh=mesh,

@@ -49,13 +49,25 @@ def batch_spec(ndim: int, spatial_sharded: bool = False) -> P:
     return P(*parts)
 
 
+_replicated_fallbacks = 0
+
+
+def replicated_fallback_count() -> int:
+    """How many times shard_batch had to replicate a non-divisible batch."""
+    return _replicated_fallbacks
+
+
 def shard_batch(batch: dict, mesh: Mesh, spatial_sharded: bool = False) -> dict:
     """Place a host batch dict onto the mesh, batch-sharded over 'data'.
 
     Falls back to replicated placement for arrays whose leading dim does not
     divide the 'data' axis (e.g. a trailing partial batch) — correctness is
-    preserved, only that batch loses its DP split.
+    preserved, but every device then computes the full batch, so the step
+    quietly costs ~data_parallel x more. The fallback therefore warns once
+    and counts occurrences (replicated_fallback_count) so loops/tests can
+    assert it never triggers on their steady-state path.
     """
+    global _replicated_fallbacks
     n_data = mesh.shape["data"]
     out = {}
     for k, v in batch.items():
@@ -63,11 +75,42 @@ def shard_batch(batch: dict, mesh: Mesh, spatial_sharded: bool = False) -> dict:
             spec = batch_spec(np.ndim(v), spatial_sharded)
         else:
             spec = P()
+            if np.ndim(v) > 0 and n_data > 1:
+                _replicated_fallbacks += 1
+                if _replicated_fallbacks == 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"shard_batch: batch dim {np.shape(v)[0]} of {k!r} "
+                        f"does not divide data axis {n_data}; replicating "
+                        "(correct but ~data_parallel x slower). Pad or drop "
+                        "trailing partial batches to avoid this.",
+                        stacklevel=2,
+                    )
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (params/state) over the mesh."""
+    """Fully replicate a pytree (params/state) over the mesh.
+
+    Multi-process meshes span non-addressable devices, where device_put is
+    illegal; there the global replicated array is assembled from the
+    (identical, seed-deterministic) host copies via
+    make_array_from_process_local_data. PRNG key arrays travel as raw key
+    data (np.asarray cannot see through the extended dtype)."""
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def rep(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            impl = jax.random.key_impl(x)
+            data = np.asarray(jax.random.key_data(x))
+            g = jax.make_array_from_process_local_data(sharding, data)
+            return jax.random.wrap_key_data(g, impl=impl)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(rep, tree)

@@ -18,16 +18,48 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def maybe_initialize(coordinator: Optional[str] = None) -> bool:
+def maybe_initialize(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
     """Call jax.distributed.initialize() when a multi-process env is
-    configured (env vars or explicit coordinator). Safe no-op otherwise."""
-    if jax.process_count() > 1:
-        return True  # already initialized
+    configured (env vars JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID, or explicit args). Safe no-op otherwise.
+
+    On the CPU backend the gloo collectives implementation is selected so
+    multi-process CPU runs work out of the box (the 2-process test path,
+    tests/test_multihost.py)."""
+    # NOTE: no jax.process_count() probe here — any backend query would
+    # initialize XLA and make jax.distributed.initialize() illegal. Check
+    # the cheap env/args first; double-initialization is caught below.
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator or os.environ.get("JAX_NUM_PROCESSES"):
-        jax.distributed.initialize()
-        return True
-    return False
+    num_processes = num_processes or int(
+        os.environ.get("JAX_NUM_PROCESSES", 0)
+    ) or None
+    process_id = (
+        process_id
+        if process_id is not None
+        else (int(os.environ["JAX_PROCESS_ID"])
+              if "JAX_PROCESS_ID" in os.environ else None)
+    )
+    if not (coordinator or num_processes):
+        return False
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # non-CPU backends pick their native collectives
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" in str(e):
+            return True  # idempotent re-entry
+        raise
+    return True
 
 
 def host_batch_slice(global_batch_size: int) -> tuple[int, int]:

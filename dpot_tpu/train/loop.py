@@ -38,7 +38,7 @@ def _fetch(x) -> float:
     return float(np.asarray(jnp.reshape(x, (1, 1)))[0, 0])
 
 
-def build_everything(cfg: TrainConfig):
+def build_everything(cfg: TrainConfig, mesh=None):
     train_ds = MixedTemporalDataset(
         cfg.train_paths, cfg.ntrain_list, res=cfg.res, t_in=cfg.T_in,
         t_ar=cfg.T_ar, train=True, data_weights=cfg.data_weights,
@@ -50,23 +50,35 @@ def build_everything(cfg: TrainConfig):
         )
         for p in cfg.test_paths
     ]
+    # multi-host: every process walks the same global batch order but
+    # loads only its 1/process_count slice (reference analogue:
+    # accelerate's sharded DataLoader, train_temporal_parallel.py:185)
+    shard_kw = dict(
+        num_shards=jax.process_count(), shard_index=jax.process_index()
+    )
     train_dl = DataLoader(
         train_ds, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers,
-        seed=cfg.seed,
+        seed=cfg.seed, **shard_kw,
     )
     test_dls = [
-        DataLoader(ds, cfg.batch_size, shuffle=False, num_workers=cfg.num_workers)
+        DataLoader(ds, cfg.batch_size, shuffle=False,
+                   num_workers=cfg.num_workers, **shard_kw)
         for ds in test_dss
     ]
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    extra = {}
+    if mesh is not None and cfg.mesh_spatial > 1:
+        # swap every AFNO mixer to the pencil-decomposed distributed FFT
+        # (DPOT only; the extension axis for >128^2 native-res training)
+        extra["spatial_mesh"] = mesh
     model = build_model(
         cfg.model, img_size=cfg.res, patch_size=cfg.patch_size,
         in_channels=train_ds.n_channels, in_timesteps=cfg.T_in,
         out_timesteps=cfg.T_bundle, embed_dim=cfg.width, modes=cfg.modes,
         depth=cfg.n_layers, n_blocks=cfg.n_blocks, mlp_ratio=cfg.mlp_ratio,
         out_layer_dim=cfg.out_layer_dim, act=cfg.act, n_cls=len(cfg.train_paths),
-        normalize=cfg.normalize, dtype=dtype, remat=cfg.remat,
+        normalize=cfg.normalize, dtype=dtype, remat=cfg.remat, **extra,
     )
 
     sched = build_schedule(
@@ -89,7 +101,10 @@ def build_everything(cfg: TrainConfig):
 
 
 def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
-    model, state, sched, train_dl, test_dls, train_ds = build_everything(cfg)
+    mesh = make_mesh(data=cfg.mesh_data, spatial=cfg.mesh_spatial)
+    model, state, sched, train_dl, test_dls, train_ds = build_everything(
+        cfg, mesh=mesh
+    )
 
     if log_dir is None and cfg.use_writer:
         log_dir = os.path.join(
@@ -106,10 +121,19 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
         state = state.replace(params=src)
         writer.text(f"resumed params from {cfg.resume_path}")
 
-    mesh = make_mesh(data=cfg.mesh_data, spatial=cfg.mesh_spatial)
     state = replicate(state, mesh)
     step_fn = make_train_step(t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale)
     roll_fn = make_eval_rollout(t_bundle=cfg.T_bundle)
+
+    if jax.process_count() > 1:
+        from dpot_tpu.parallel.multihost import global_batch_from_local
+
+        def place(b, spatial_sharded=False):
+            # per-host numpy shards -> one global sharded jax.Array
+            return global_batch_from_local(b, mesh, spatial_sharded)
+    else:
+        def place(b, spatial_sharded=False):
+            return shard_batch(b, mesh, spatial_sharded)
 
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     writer.text(f"model {cfg.model} params {n_params/1e6:.2f}M devices {mesh.devices.size}")
@@ -156,15 +180,16 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
         for x, y, msk, cls in train_dl:
             t_load += time.perf_counter() - t_1
             t_1 = time.perf_counter()
-            batch = shard_batch(
-                {"x": x, "y": y, "msk": msk, "cls": cls}, mesh,
+            batch = place(
+                {"x": x, "y": y, "msk": msk, "cls": cls},
                 spatial_sharded=cfg.mesh_spatial > 1,
             )
             state, aux = step_fn(state, batch)
             steps_per_sample = y.shape[-2] / cfg.T_bundle
             it += 1
             drain(pending)
-            pending = (aux, x.shape[0], steps_per_sample)
+            # loss_step sums over the GLOBAL batch; x is this host's shard
+            pending = (aux, x.shape[0] * jax.process_count(), steps_per_sample)
             t_train += time.perf_counter() - t_1
             t_1 = time.perf_counter()
         drain(pending)
@@ -177,7 +202,7 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
             for x, y, msk, _ in dl:
                 out = roll_fn(
                     model.apply, host_params,
-                    shard_batch({"x": x, "y": y, "msk": msk}, mesh),
+                    place({"x": x, "y": y, "msk": msk}),
                 )
                 s_sum += _fetch(out["loss_step"])
                 f_sum += _fetch(out["loss_full"])

@@ -67,6 +67,25 @@ def test_dryrun_multichip_4():
     assert "ok" in proc.stdout, proc.stdout
 
 
+@pytest.mark.slow
+def test_dryrun_h():
+    """DPOT-H (1.03B) FSDP+remat train step on the virtual 8-device mesh."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_h(8)",
+        ],
+        cwd=REPO,
+        env=_clean_env(),
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
+    assert "ok" in proc.stdout, proc.stdout
+
+
 def test_entry_compiles():
     """entry() must return (fn, args) that jit-compile on the default
     backend (the driver compile-checks this single-chip)."""
