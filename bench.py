@@ -50,7 +50,7 @@ def bench_train(preset: str, batch: int, remat: bool = False,
     from dpot_tpu.models import build_model
     from dpot_tpu.train.optimizers import build_optimizer
     from dpot_tpu.train.schedules import build_schedule
-    from dpot_tpu.train.state import TrainState
+    from dpot_tpu.train.state import TrainState, training_key
     from dpot_tpu.train.step import make_train_step
 
     model = build_model(
@@ -69,7 +69,7 @@ def bench_train(preset: str, batch: int, remat: bool = False,
     tx = build_optimizer(
         "lamb", build_schedule("cycle", 1e-3, 1000, 10, 1), grad_clip=1.0
     )
-    state = TrainState.create(model.apply, params, tx, jax.random.key(1))
+    state = TrainState.create(model.apply, params, tx, training_key(1))
     step = make_train_step(t_bundle=1, noise_scale=5e-4)
 
     for _ in range(WARMUP):
@@ -98,7 +98,7 @@ def bench_train_3d(batch: int = 2, size: int = 64, iters: int = ITERS) -> dict:
     from dpot_tpu.models import build_model
     from dpot_tpu.train.optimizers import build_optimizer
     from dpot_tpu.train.schedules import build_schedule
-    from dpot_tpu.train.state import TrainState
+    from dpot_tpu.train.state import TrainState, training_key
     from dpot_tpu.train.step import make_train_step, wrap_pred_only
 
     model = build_model(
@@ -122,7 +122,7 @@ def bench_train_3d(batch: int = 2, size: int = 64, iters: int = ITERS) -> dict:
         "lamb", build_schedule("cycle", 1e-3, 1000, 10, 1), grad_clip=1.0
     )
     apply_fn = wrap_pred_only(model.apply, n_cls=12)
-    state = TrainState.create(apply_fn, params, tx, jax.random.key(1))
+    state = TrainState.create(apply_fn, params, tx, training_key(1))
     step = make_train_step(t_bundle=1, noise_scale=5e-4)
     for _ in range(WARMUP):
         state, aux = step(state, b)

@@ -26,7 +26,7 @@ def main(argv=None):
     from dpot_tpu.train.interop import inflate_2d_to_3d
     from dpot_tpu.train.optimizers import build_optimizer
     from dpot_tpu.train.schedules import build_schedule
-    from dpot_tpu.train.state import TrainState
+    from dpot_tpu.train.state import TrainState, training_key
     from dpot_tpu.train.step import (
         make_eval_rollout,
         make_train_step,
@@ -108,7 +108,7 @@ def main(argv=None):
         weight_decay=cfg.weight_decay,
     )
     apply3d = wrap_pred_only(model.apply)
-    state = TrainState.create(apply3d, params, tx, jax.random.key(cfg.seed + 1))
+    state = TrainState.create(apply3d, params, tx, training_key(cfg.seed + 1))
     mesh = make_mesh(data=cfg.mesh_data, spatial=cfg.mesh_spatial)
     state = replicate(state, mesh)
     step = make_train_step(t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale)

@@ -145,6 +145,25 @@ class Block(nn.Module):
         return x + residual
 
 
+def _grid_patches(H: int, W: int, T: int, p: int, dtype) -> jax.Array:
+    """Patchified (x, y, t) coordinate-grid channels (reference get_grid_3d,
+    models/dpot.py:350-360), at latent resolution: (h, w, T, p*p*3) with the
+    same (a, b, c) flattening order as PatchConv's space-to-depth."""
+    h, w = H // p, W // p
+    gx = jnp.linspace(0, 1, H, dtype=jnp.float32).reshape(h, p)
+    gy = jnp.linspace(0, 1, W, dtype=jnp.float32).reshape(w, p)
+    gt = jnp.linspace(0, 1, T, dtype=jnp.float32)
+    g = jnp.stack(
+        [
+            jnp.broadcast_to(gx[:, None, None, :, None], (h, w, T, p, p)),
+            jnp.broadcast_to(gy[None, :, None, None, :], (h, w, T, p, p)),
+            jnp.broadcast_to(gt[None, None, :, None, None], (h, w, T, p, p)),
+        ],
+        axis=-1,
+    )  # (h, w, T, p, p, 3)
+    return g.reshape(h, w, T, p * p * 3).astype(dtype)
+
+
 class PatchConv(nn.Module):
     """Conv2d(k=p, s=p) lowered as space-to-depth + matmul.
 
@@ -154,11 +173,19 @@ class PatchConv(nn.Module):
     while this lowering is one well-tiled matmul. Params are named/shaped
     exactly like nn.Conv (kernel (p,p,C,E) HWIO + bias) so checkpoints are
     interchangeable. Works on (..., H, W, C) with any leading batch dims.
+
+    append_grid: the reference concatenates (x, y, t) coordinate channels
+    to the input before patchifying (models/dpot.py:364,350-360). Since
+    [x; grid] @ W == x @ W[:, :C] + grid @ W[:, C:] and the grid term is
+    batch-independent, folding it here computes the grid contribution once
+    at LATENT resolution ((h, w, T, E) vs materializing + transposing
+    (B, H, W, T, 3) at full resolution) — same parameters, same output.
     """
 
     features: int
     patch_size: int
     dtype: Dtype = jnp.float32
+    append_grid: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -171,20 +198,36 @@ class PatchConv(nn.Module):
             B, H, W, T, C = x.shape
         else:
             B, H, W, C = x.shape
+        g = 3 if self.append_grid else 0
         kernel = self.param(
-            "kernel", torch_linear_weight(), (p, p, C, self.features)
+            "kernel", torch_linear_weight(), (p, p, C + g, self.features)
         )
-        bias = self.param("bias", torch_bias(C * p * p), (self.features,))
+        bias = self.param("bias", torch_bias((C + g) * p * p), (self.features,))
         h, w = H // p, W // p
-        k = kernel.reshape(p * p * C, self.features).astype(self.dtype)
+        k = (
+            kernel[:, :, :C, :].reshape(p * p * C, self.features)
+            if g
+            else kernel.reshape(p * p * C, self.features)
+        ).astype(self.dtype)
+        # cast before the space-to-depth transpose: halves its HBM traffic
+        # under bf16 compute (identity under f32)
+        x = x.astype(self.dtype)
         if has_t:
             x = x.reshape(B, h, p, w, p, T, C)
             x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6))  # B,h,w,T,p,p,C
-            y = x.reshape(B, h, w, T, p * p * C).astype(self.dtype) @ k
+            y = x.reshape(B, h, w, T, p * p * C) @ k
         else:
             x = x.reshape(B, h, p, w, p, C)
             x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))  # B,h,w,p,p,C
-            y = x.reshape(B, h, w, p * p * C).astype(self.dtype) @ k
+            y = x.reshape(B, h, w, p * p * C) @ k
+        if g:
+            assert has_t, "append_grid requires the (B,H,W,T,C) layout"
+            k_grid = (
+                kernel[:, :, C:, :]
+                .reshape(p * p * 3, self.features)
+                .astype(self.dtype)
+            )
+            y = y + _grid_patches(H, W, T, p, self.dtype) @ k_grid
         return y + bias.astype(self.dtype)
 
 
@@ -233,11 +276,13 @@ class PatchEmbed(nn.Module):
     out_dim: int
     act: str = "gelu"
     dtype: Dtype = jnp.float32
+    append_grid: bool = False  # fold the (x,y,t) grid channels (PatchConv)
 
     @nn.compact
     def __call__(self, x):  # (..., H, W, C_in)
         x = PatchConv(
-            self.embed_dim, self.patch_size, dtype=self.dtype, name="proj1"
+            self.embed_dim, self.patch_size, dtype=self.dtype,
+            append_grid=self.append_grid, name="proj1",
         )(x)
         x = get_activation(self.act)(x)
         x = nn.Dense(
@@ -328,27 +373,16 @@ class DPOTNet(nn.Module):
             )(stats)[:, None, None, :]
 
         # coordinate grid channels (x, y, t) — reference get_grid_3d
-        # (models/dpot.py:350-360)
-        gx = jnp.linspace(0, 1, H, dtype=x.dtype)[None, :, None, None, None]
-        gy = jnp.linspace(0, 1, W, dtype=x.dtype)[None, None, :, None, None]
-        gt = jnp.linspace(0, 1, T, dtype=x.dtype)[None, None, None, :, None]
-        grid = jnp.concatenate(
-            [
-                jnp.broadcast_to(gx, (B, H, W, T, 1)),
-                jnp.broadcast_to(gy, (B, H, W, T, 1)),
-                jnp.broadcast_to(gt, (B, H, W, T, 1)),
-            ],
-            axis=-1,
-        )
-        x = jnp.concatenate([x, grid], axis=-1)  # (B, X, Y, T, C+3)
-
-        # per-frame patch embed, T riding along (no full-res transpose)
+        # (models/dpot.py:350-360) — folded into the patch matmul
+        # (PatchConv.append_grid) instead of materialized at full res.
+        # Per-frame patch embed, T riding along (no full-res transpose).
         x = PatchEmbed(
             patch_size=p,
             embed_dim=self.out_channels * p + 3,
             out_dim=self.embed_dim,
             act=self.act,
             dtype=self.dtype,
+            append_grid=True,
             name="patch_embed",
         )(x)  # (B, h, w, T, D)
 

@@ -96,7 +96,9 @@ def build_everything(cfg: TrainConfig, mesh=None):
         jnp.float32,
     )
     params = model.init(jax.random.key(cfg.seed), x0)
-    state = TrainState.create(model.apply, params, tx, jax.random.key(cfg.seed + 1))
+    from dpot_tpu.train.state import training_key
+
+    state = TrainState.create(model.apply, params, tx, training_key(cfg.seed + 1))
     return model, state, sched, train_dl, test_dls, train_ds
 
 

@@ -14,6 +14,27 @@ import jax
 import optax
 
 
+def training_key(seed: int) -> jax.Array:
+    """PRNG key for the training loop's noise stream.
+
+    On TPU the default threefry generator costs ~0.5-1 ms per DPOT-M step
+    just to sample the injected noise (train_temporal.py:205); the
+    hardware rbg generator samples the same distribution ~4x faster and is
+    fully adequate for data noise (not for e.g. DP privacy noise). CPU/GPU
+    keep threefry so tests are reproducible against recorded goldens.
+
+    Platform-deterministic, so checkpoint resume on the same platform sees
+    a consistent key layout.
+    """
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    if platform in ("cpu", "gpu", "cuda", "rocm"):
+        return jax.random.key(seed)
+    return jax.random.key(seed, impl="rbg")
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
