@@ -94,15 +94,44 @@ class Block3D(nn.Module):
         return x + residual
 
 
+def _grid_patches_3d(H: int, W: int, L: int, T: int, p: int, dtype):
+    """Patchified (x, y, z, t) grid channels (reference get_grid_4d,
+    models/dpot3d.py:338-350) at latent resolution: (h, w, l, T, p^3*4),
+    flattened in PatchConv3D's (a, b, c, channel) space-to-depth order."""
+    h, w, l = H // p, W // p, L // p
+    gx = jnp.linspace(0, 1, H, dtype=jnp.float32).reshape(h, p)
+    gy = jnp.linspace(0, 1, W, dtype=jnp.float32).reshape(w, p)
+    gz = jnp.linspace(0, 1, L, dtype=jnp.float32).reshape(l, p)
+    gt = jnp.linspace(0, 1, T, dtype=jnp.float32)
+    shape = (h, w, l, T, p, p, p)
+    g = jnp.stack(
+        [
+            jnp.broadcast_to(gx[:, None, None, None, :, None, None], shape),
+            jnp.broadcast_to(gy[None, :, None, None, None, :, None], shape),
+            jnp.broadcast_to(gz[None, None, :, None, None, None, :], shape),
+            jnp.broadcast_to(gt[None, None, None, :, None, None, None], shape),
+        ],
+        axis=-1,
+    )  # (h, w, l, T, p, p, p, 4)
+    return g.reshape(h, w, l, T, p**3 * 4).astype(dtype)
+
+
 class PatchConv3D(nn.Module):
     """Conv3d(k=p, s=p) as space-to-depth + matmul (see 2D PatchConv for
     rationale; the win is larger in 3D where XLA's Conv3d lowering is
     weaker). Kernel layout (p,p,p,C,E) matches nn.Conv. Accepts
-    (N, X, Y, Z, C) or (B, X, Y, Z, T, C) with T riding along."""
+    (N, X, Y, Z, C) or (B, X, Y, Z, T, C) with T riding along.
+
+    append_grid folds the reference's (x,y,z,t) grid-channel concat
+    (models/dpot3d.py:354) into the patch matmul — the grid term is
+    batch-independent, so it is evaluated once at latent resolution
+    instead of materializing (B, X, Y, Z, T, 4) at 64^3 full resolution
+    (same parameters, same output; see 2D PatchConv.append_grid)."""
 
     features: int
     patch_size: int
     dtype: Dtype = jnp.float32
+    append_grid: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -112,20 +141,34 @@ class PatchConv3D(nn.Module):
             B, H, W, L, T, C = x.shape
         else:
             B, H, W, L, C = x.shape
+        g = 4 if self.append_grid else 0
         kernel = self.param(
-            "kernel", torch_linear_weight(), (p, p, p, C, self.features)
+            "kernel", torch_linear_weight(), (p, p, p, C + g, self.features)
         )
-        bias = self.param("bias", torch_bias(C * p**3), (self.features,))
+        bias = self.param("bias", torch_bias((C + g) * p**3), (self.features,))
         h, w, l = H // p, W // p, L // p
-        k = kernel.reshape(p**3 * C, self.features).astype(self.dtype)
+        k = (
+            kernel[:, :, :, :C, :].reshape(p**3 * C, self.features)
+            if g
+            else kernel.reshape(p**3 * C, self.features)
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
         if has_t:
             x = x.reshape(B, h, p, w, p, l, p, T, C)
             x = jnp.transpose(x, (0, 1, 3, 5, 7, 2, 4, 6, 8))
-            y = x.reshape(B, h, w, l, T, p**3 * C).astype(self.dtype) @ k
+            y = x.reshape(B, h, w, l, T, p**3 * C) @ k
         else:
             x = x.reshape(B, h, p, w, p, l, p, C)
             x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))
-            y = x.reshape(B, h, w, l, p**3 * C).astype(self.dtype) @ k
+            y = x.reshape(B, h, w, l, p**3 * C) @ k
+        if g:
+            assert has_t, "append_grid requires the (B,X,Y,Z,T,C) layout"
+            k_grid = (
+                kernel[:, :, :, C:, :]
+                .reshape(p**3 * 4, self.features)
+                .astype(self.dtype)
+            )
+            y = y + _grid_patches_3d(H, W, L, T, p, self.dtype) @ k_grid
         return y + bias.astype(self.dtype)
 
 
@@ -165,10 +208,13 @@ class PatchEmbed3D(nn.Module):
     act: str = "gelu"
     dtype: Dtype = jnp.float32
 
+    append_grid: bool = False
+
     @nn.compact
     def __call__(self, x):  # (..., X, Y, Z, C_in)
         x = PatchConv3D(
-            self.embed_dim, self.patch_size, dtype=self.dtype, name="proj1"
+            self.embed_dim, self.patch_size, dtype=self.dtype,
+            append_grid=self.append_grid, name="proj1",
         )(x)
         x = get_activation(self.act)(x)
         x = nn.Dense(
@@ -222,24 +268,12 @@ class DPOTNet3D(nn.Module):
             )(stats)[:, None, None, None, :]
 
         # 4D coordinate grid (x,y,z,t) — reference get_grid_4d
-        # (models/dpot3d.py:338-350)
-        def axgrid(n, axis):
-            shape = [1] * 6
-            shape[axis] = n
-            return jnp.broadcast_to(
-                jnp.linspace(0, 1, n, dtype=x.dtype).reshape(shape),
-                (B, H, W, L, T, 1),
-            )
-
-        grid = jnp.concatenate(
-            [axgrid(H, 1), axgrid(W, 2), axgrid(L, 3), axgrid(T, 4)], axis=-1
-        )
-        x = jnp.concatenate([x, grid], axis=-1)  # (B,X,Y,Z,T,C+4)
-
+        # (models/dpot3d.py:338-350) — folded into the patch matmul
+        # (PatchConv3D.append_grid) instead of materialized at 64^3.
         x = PatchEmbed3D(
             patch_size=p, embed_dim=self.out_channels * p + 4,
             out_dim=self.embed_dim, act=self.act, dtype=self.dtype,
-            name="patch_embed",
+            append_grid=True, name="patch_embed",
         )(x)  # (B, h, h, h, T, D)
 
         pos_embed = self.param(

@@ -5,8 +5,8 @@ the converter mechanics; this gate runs the SAME parity checks at the real
 released DPOT-Ti/S operating points — 128^2 grid, patch 8, modes 32, the
 depth/width/n_blocks from the reference's configs/pretrain_tiny.yaml:62-80
 and configs/pretrain_s.yaml — so the HF-weight path is proven at the shapes
-it will actually be used at (BASELINE.md acceptance bar). Slow-marked:
-reference torch-CPU forwards at 128^2 dominate the runtime.
+it will actually be used at (BASELINE.md acceptance bar). Runs in the
+default suite (~20 s: reference torch-CPU forwards at 128^2 dominate).
 """
 
 import importlib.util
@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 REF = "/root/reference"
 pytestmark = [
-    pytest.mark.slow,
     pytest.mark.skipif(not os.path.isdir(REF), reason="reference mount unavailable"),
 ]
 

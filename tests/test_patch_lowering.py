@@ -125,3 +125,55 @@ def test_unpatchconv3d_matches_torch():
         jnp.asarray(x),
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-4)
+
+
+def test_patchconv_grid_fold_matches_explicit_concat():
+    """append_grid must equal concatenating the reference's (x,y,t) grid
+    channels at full resolution and patchifying (models/dpot.py:364,
+    350-360): [x; grid] @ W == x @ W[:C] + grid @ W[C:]."""
+    rng = np.random.default_rng(2)
+    p, C, E, T, H = 4, 3, 8, 5, 16
+    x = jnp.asarray(rng.standard_normal((2, H, H, T, C)), jnp.float32)
+    pcg = PatchConv(E, p, append_grid=True)
+    params = pcg.init(jax.random.key(0), x)  # kernel (p,p,C+3,E)
+    got = pcg.apply(params, x)
+
+    gx = jnp.linspace(0, 1, H)[None, :, None, None, None]
+    gy = jnp.linspace(0, 1, H)[None, None, :, None, None]
+    gt = jnp.linspace(0, 1, T)[None, None, None, :, None]
+    grid = jnp.concatenate(
+        [
+            jnp.broadcast_to(gx, (2, H, H, T, 1)),
+            jnp.broadcast_to(gy, (2, H, H, T, 1)),
+            jnp.broadcast_to(gt, (2, H, H, T, 1)),
+        ],
+        axis=-1,
+    )
+    want = PatchConv(E, p).apply(params, jnp.concatenate([x, grid], axis=-1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_patchconv3d_grid_fold_matches_explicit_concat():
+    """3D analogue: append_grid == concat of get_grid_4d channels
+    (reference models/dpot3d.py:338-354)."""
+    from dpot_tpu.models.dpot3d import PatchConv3D
+
+    rng = np.random.default_rng(3)
+    p, C, E, T, H = 2, 2, 6, 3, 8
+    x = jnp.asarray(rng.standard_normal((2, H, H, H, T, C)), jnp.float32)
+    pcg = PatchConv3D(E, p, append_grid=True)
+    params = pcg.init(jax.random.key(0), x)  # kernel (p,p,p,C+4,E)
+    got = pcg.apply(params, x)
+
+    def axgrid(n, axis):
+        shape = [1] * 6
+        shape[axis] = n
+        return jnp.broadcast_to(
+            jnp.linspace(0, 1, n).reshape(shape), (2, H, H, H, T, 1)
+        )
+
+    grid = jnp.concatenate(
+        [axgrid(H, 1), axgrid(H, 2), axgrid(H, 3), axgrid(T, 4)], axis=-1
+    )
+    want = PatchConv3D(E, p).apply(params, jnp.concatenate([x, grid], axis=-1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
