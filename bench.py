@@ -183,6 +183,16 @@ def main() -> None:
 
     if os.environ.get("DPOT_BENCH_LADDER"):
         print(json.dumps(bench_train("M", 8)), flush=True)
+        # fused GN+AFNO Pallas kernel A/B (VERDICT r1 item 10): measured at
+        # parity with the XLA-composed default — recorded here so the
+        # comparison stays reproducible
+        os.environ["DPOT_AFNO_IMPL"] = "fused"
+        r = bench_train("M", 8)
+        r["metric"] = r["metric"].replace(
+            "DPOT-M", "DPOT-M [DPOT_AFNO_IMPL=fused pallas]"
+        )
+        print(json.dumps(r), flush=True)
+        os.environ.pop("DPOT_AFNO_IMPL", None)
         print(json.dumps(bench_train("Ti", 8)), flush=True)
         print(json.dumps(bench_train("S", 8)), flush=True)
         print(json.dumps(bench_train("M", 16)), flush=True)

@@ -41,10 +41,14 @@ class GroupNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, only_params: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if only_params:
+            # fused-kernel path: the caller applies the norm inside a
+            # Pallas kernel; this branch only declares/returns the params
+            return scale, bias
         return group_norm(x, scale, bias, self.num_groups, self.epsilon)
 
 
@@ -68,7 +72,7 @@ class AFNO2D(nn.Module):
     spatial_axis: str = "spatial"
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, C)
+    def __call__(self, x, pre_norm=None):  # (B, H, W, C)
         nb = self.num_blocks
         bs = self.width // nb
         f = self.hidden_size_factor
@@ -78,6 +82,38 @@ class AFNO2D(nn.Module):
         b1 = self.param("b1", scaled_uniform(scale), (2, nb, bs * f))
         w2 = self.param("w2", scaled_uniform(scale), (2, nb, bs * f, bs))
         b2 = self.param("b2", scaled_uniform(scale), (2, nb, bs))
+        if pre_norm is not None:
+            # fused GroupNorm+AFNO Pallas path (Block passes its norm1
+            # params; bf16 compute, qualifying shapes only)
+            from dpot_tpu.ops.pallas.afno_fused import fused_gn_afno
+            from dpot_tpu.ops.spectral import (
+                _combined_spectral_ops,
+                _complex_as_real_weight,
+            )
+
+            B, H, W, C = x.shape
+            kh = min(self.modes, H)
+            kw = min(self.modes, W // 2 + 1)
+            K = kh * kw
+            A_np, Ai_np = _combined_spectral_ops(H, W, kh, kw)
+            gs, gb = pre_norm
+            out = fused_gn_afno(
+                x.reshape(B, H * W, C).astype(jnp.bfloat16),
+                gs.reshape(1, C).astype(jnp.float32),
+                gb.reshape(1, C).astype(jnp.float32),
+                jnp.asarray(A_np, jnp.bfloat16),
+                jnp.asarray(Ai_np, jnp.bfloat16),
+                _complex_as_real_weight(w1[0], w1[1]).astype(jnp.bfloat16),
+                jnp.concatenate([b1[0], b1[1]], -1)[:, None, :].astype(
+                    jnp.float32
+                ),
+                _complex_as_real_weight(w2[0], w2[1]).astype(jnp.bfloat16),
+                jnp.concatenate([b2[0], b2[1]], -1)[:, None, :].astype(
+                    jnp.float32
+                ),
+                K,
+            )
+            return out.reshape(B, H, W, C)
         mesh = self.spatial_mesh
         if mesh is not None and mesh.shape[self.spatial_axis] > 1:
             from dpot_tpu.parallel.dist_fft import afno_filter_2d_sharded
@@ -116,18 +152,45 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     spatial_mesh: Any = None
 
+    def _use_fused_afno(self, x) -> bool:
+        """Select the fused GroupNorm+AFNO Pallas kernel: bf16 compute,
+        gelu, no spatial sharding, kernel-qualifying shapes, and
+        DPOT_AFNO_IMPL=fused (opt-in; see bench.py comparison)."""
+        import os
+
+        if os.environ.get("DPOT_AFNO_IMPL", "xla") != "fused":
+            return False
+        if self.dtype != jnp.bfloat16 or self.act != "gelu":
+            return False
+        if self.spatial_mesh is not None and (
+            self.spatial_mesh.shape.get("spatial", 1) > 1
+        ):
+            return False
+        from dpot_tpu.ops.pallas.afno_fused import fused_gn_afno_supported
+
+        B, H, W, C = x.shape
+        return fused_gn_afno_supported(H * W, C, self.num_blocks, B)
+
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
         act = get_activation(self.act)
         hidden = int(self.width * self.mlp_ratio)
 
         residual = x
-        x = GroupNorm(name="norm1")(x)
-        x = AFNO2D(
+        filt = AFNO2D(
             width=self.width, num_blocks=self.num_blocks, modes=self.modes,
             act=self.act, dtype=self.dtype, spatial_mesh=self.spatial_mesh,
             name="filter",
-        )(x)
+        )
+        if self._use_fused_afno(x):
+            # one VMEM-resident kernel for norm1 + the whole spectral
+            # mixer (ops/pallas/afno_fused.py); params identical to the
+            # composed path
+            gn_params = GroupNorm(name="norm1")(x, only_params=True)
+            x = filt(x, pre_norm=gn_params)
+        else:
+            x = GroupNorm(name="norm1")(x)
+            x = filt(x)
         if self.double_skip:
             x = x + residual
             residual = x

@@ -16,9 +16,12 @@ The complex 2-layer MLP is lowered to *real* matmuls with the structured
 weight  W = [[Wr, Wi], [-Wi, Wr]]  acting on concat([re, im]) features.
 This turns 8 small complex einsums into 2 batched (2*bs x 2*bs) real matmuls
 per layer — for the standard configs (embed 512-2048, 4-16 blocks) bs is
-64-256, so 2*bs is 128-512: exact MXU tiles. A fused Pallas kernel
-(dpot_tpu/ops/pallas/afno_mlp.py) goes further and keeps the hidden layer in
-VMEM; this module is the XLA-composed reference path and the autodiff path.
+64-256, so 2*bs is 128-512: exact MXU tiles. A fully fused Pallas kernel
+(dpot_tpu/ops/pallas/afno_fused.py: GroupNorm + A-matmul + mode MLP +
+Ainv-matmul in VMEM) exists as an opt-in; measured on v5e it only MATCHES
+this XLA-composed path end-to-end (51.7 vs 51.5 steps/s at DPOT-M B=8),
+because XLA already fuses the matmul-DFT formulation well — which is why
+this module is the default, the golden-parity path, and the autodiff path.
 """
 
 from __future__ import annotations
@@ -80,36 +83,12 @@ def afno_mode_mlp(
 
     z = jnp.concatenate([x_re, x_im], axis=-1).astype(cd)     # (N, nb, 2bs)
 
-    if _use_pallas_mlp(W1.shape, act):
-        from dpot_tpu.ops.pallas.afno_kernel import afno_mlp
-
-        zb = jnp.transpose(z, (1, 0, 2))  # (nb, N, 2bs)
-        o = jnp.transpose(afno_mlp(zb, W1, B1, W2, B2), (1, 0, 2))
-    else:
-        # batched over nb: (nb, N, 2bs) @ (nb, 2bs, 2bsf)
-        h = jnp.einsum("nbi,bio->nbo", z, W1, preferred_element_type=cd) + B1
-        h = act(h)
-        o = jnp.einsum("nbi,bio->nbo", h, W2, preferred_element_type=cd) + B2
+    # batched over nb: (nb, N, 2bs) @ (nb, 2bs, 2bsf)
+    h = jnp.einsum("nbi,bio->nbo", z, W1, preferred_element_type=cd) + B1
+    h = act(h)
+    o = jnp.einsum("nbi,bio->nbo", h, W2, preferred_element_type=cd) + B2
     o = o.astype(in_dtype)
     return o[..., :bs], o[..., bs:]
-
-
-def _use_pallas_mlp(w_shape, act) -> bool:
-    """Pick the fused Pallas kernel for the mode MLP. Opt-in via
-    DPOT_AFNO_IMPL=pallas (or 'xla' to force off); requires lane-aligned
-    block dims and the gelu activation (the kernel hardcodes gelu —
-    every DPOT preset uses gelu)."""
-    import os
-
-    from dpot_tpu.ops.activations import get_activation
-
-    impl = os.environ.get("DPOT_AFNO_IMPL", "xla")
-    if impl != "pallas":
-        return False
-    if act is not get_activation("gelu"):
-        return False
-    d_in, d_hid = w_shape[-2] * 2, w_shape[-1] * 2
-    return d_in % 128 == 0 and d_hid % 128 == 0
 
 
 from functools import lru_cache
