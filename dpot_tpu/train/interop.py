@@ -163,6 +163,200 @@ def dpot_params_from_torch(
     return {"params": p}
 
 
+def _dense_from_1x1_nd(sd, prefix):
+    """torch 1x..x1 ConvNd (O, I, 1...) -> Dense kernel (I, O)."""
+    w = _np(sd[f"{prefix}.weight"])
+    out = {"kernel": w.reshape(w.shape[0], w.shape[1]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _unpatch3d(sd, prefix):
+    """torch ConvTranspose3d(k=p, s=p) -> UnpatchConv3D kernel (p,p,p,D,O)
+    (same no-flip scatter mapping as _unpatch)."""
+    w = _np(sd[f"{prefix}.weight"])  # (D, O, p, p, p)
+    out = {"kernel": np.transpose(w, (2, 3, 4, 0, 1))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def dpot3d_params_from_torch(
+    sd: Mapping[str, Any],
+    depth: int,
+    normalize: bool = False,
+) -> dict:
+    """Reference DPOTNet3D state dict (models/dpot3d.py:228-350) ->
+    dpot_tpu DPOTNet3D params['params']; mirrors dpot_params_from_torch
+    with Conv3d/ConvTranspose3d kernel layouts."""
+    sd = strip_module_prefix(sd)
+    p: dict[str, Any] = {}
+
+    p["patch_embed"] = {
+        "proj1": _conv(sd, "patch_embed.proj.0"),  # (p,p,p,I,O)
+        "proj2": _dense_from_1x1_nd(sd, "patch_embed.proj.2"),
+    }
+    pos = _np(sd["pos_embed"])  # (1, D, h, w, l)
+    p["pos_embed"] = np.transpose(pos, (0, 2, 3, 4, 1))
+
+    ta = {"w": _np(sd["time_agg_layer.w"])}
+    if "time_agg_layer.gamma" in sd:
+        ta["gamma"] = _np(sd["time_agg_layer.gamma"])
+    p["time_agg"] = ta
+
+    if normalize and "scale_feats_mu.weight" in sd:
+        p["scale_feats_mu"] = _linear(sd, "scale_feats_mu")
+        p["scale_feats_sigma"] = _linear(sd, "scale_feats_sigma")
+
+    for i in range(depth):
+        b = f"blocks.{i}"
+        p[f"blocks_{i}"] = {
+            "norm1": _groupnorm(sd, f"{b}.norm1"),
+            "norm2": _groupnorm(sd, f"{b}.norm2"),
+            "filter": {
+                "w1": _np(sd[f"{b}.filter.w1"]),
+                "b1": _np(sd[f"{b}.filter.b1"]),
+                "w2": _np(sd[f"{b}.filter.w2"]),
+                "b2": _np(sd[f"{b}.filter.b2"]),
+            },
+            "mlp_fc1": _dense_from_1x1_nd(sd, f"{b}.mlp.0"),
+            "mlp_fc2": _dense_from_1x1_nd(sd, f"{b}.mlp.2"),
+        }
+
+    for j, src in enumerate([0, 2, 4]):
+        p[f"cls_head_{j}"] = _linear(sd, f"cls_head.{src}")
+
+    p["out_deconv"] = _unpatch3d(sd, "out_layer.0")
+    p["out_conv1"] = _dense_from_1x1_nd(sd, "out_layer.2")
+    p["out_conv2"] = _dense_from_1x1_nd(sd, "out_layer.4")
+
+    return {"params": p}
+
+
+def cdpot_params_from_torch(
+    sd: Mapping[str, Any],
+    depth: int,
+    normalize: bool = False,
+) -> dict:
+    """Reference CDPOTNet state dict (models/dpot_res.py:393-603) ->
+    dpot_tpu CDPOTNet params['params']. The trunk maps like DPOTNet; the
+    CNO pieces add filtered-activation biases (LReLu_torch.bias — note
+    `act_patching` and `proj.1` are the same module registered twice,
+    models/dpot_res.py:341-349) and the CNOBlock output head."""
+    sd = strip_module_prefix(sd)
+    p: dict[str, Any] = {}
+
+    p["patch_embed"] = {
+        "proj1": _conv(sd, "patch_embed.proj.0"),
+        "act_bias": _np(sd["patch_embed.proj.1.bias"]),
+        "proj2": _conv(sd, "patch_embed.proj.2"),
+    }
+    pos = _np(sd["pos_embed"])  # (1, D, h, w)
+    p["pos_embed"] = np.transpose(pos, (0, 2, 3, 1))
+
+    ta = {"w": _np(sd["time_agg_layer.w"])}
+    if "time_agg_layer.gamma" in sd:
+        ta["gamma"] = _np(sd["time_agg_layer.gamma"])
+    p["time_agg"] = ta
+
+    if normalize and "scale_feats_mu.weight" in sd:
+        p["scale_feats_mu"] = _linear(sd, "scale_feats_mu")
+        p["scale_feats_sigma"] = _linear(sd, "scale_feats_sigma")
+
+    for i in range(depth):
+        b = f"blocks.{i}"
+        p[f"blocks_{i}"] = {
+            "norm1": _groupnorm(sd, f"{b}.norm1"),
+            "norm2": _groupnorm(sd, f"{b}.norm2"),
+            "filter": {
+                "w1": _np(sd[f"{b}.filter.w1"]),
+                "b1": _np(sd[f"{b}.filter.b1"]),
+                "w2": _np(sd[f"{b}.filter.w2"]),
+                "b2": _np(sd[f"{b}.filter.b2"]),
+            },
+            "mlp_fc1": _dense_from_1x1(sd, f"{b}.mlp.0"),
+            "mlp_fc2": _dense_from_1x1(sd, f"{b}.mlp.2"),
+        }
+
+    for j, src in enumerate([0, 2, 4]):
+        p[f"cls_head_{j}"] = _linear(sd, f"cls_head.{src}")
+
+    p["out_cno"] = {
+        "convolution": _conv(sd, "out_layer.0.convolution"),
+        "act_bias": _np(sd["out_layer.0.activation.bias"]),
+    }
+    p["out_conv1"] = _conv(sd, "out_layer.1")
+    p["out_conv2"] = _conv(sd, "out_layer.3")
+
+    return {"params": p}
+
+
+def fno2d_params_from_torch(
+    sd: Mapping[str, Any],
+    n_layers: int,
+    normalize: bool = False,
+    use_ln: bool = False,
+) -> dict:
+    """Reference FNO2d state dict (models/fno.py:85-283) -> dpot_tpu FNO2d
+    params['params']. Spectral weights are stored (2, I, O, m1, m2)
+    real-stacked on both sides — a direct copy."""
+    sd = strip_module_prefix(sd)
+    p: dict[str, Any] = {
+        "patch_embed": {
+            "proj1": _conv(sd, "patch_embed.proj.0"),
+            "proj2": _dense_from_1x1(sd, "patch_embed.proj.2"),
+        },
+        "fc1": _linear(sd, "fc1"),
+        "fc2": _linear(sd, "fc2"),
+    }
+    if normalize and "scale_feats.weight" in sd:
+        p["scale_feats"] = _linear(sd, "scale_feats")
+    for i in range(n_layers):
+        p[f"spectral_{i}"] = {
+            "weights1": _np(sd[f"spectral_convs.{i}.weights1"]),
+            "weights2": _np(sd[f"spectral_convs.{i}.weights2"]),
+        }
+        p[f"w_{i}"] = _dense_from_1x1(sd, f"convs.{i}")
+        if use_ln and f"ln_layers.{i}.weight" in sd:
+            p[f"ln_{i}"] = _groupnorm(sd, f"ln_layers.{i}")
+    for j, src in enumerate([0, 2, 4]):
+        if f"cls_head.{src}.weight" in sd:
+            p[f"cls_head_{j}"] = _linear(sd, f"cls_head.{src}")
+    return {"params": p}
+
+
+def fno3d_params_from_torch(
+    sd: Mapping[str, Any],
+    n_layers: int,
+    use_ln: bool = False,
+) -> dict:
+    """Reference FNO3d state dict (models/fno.py:346-435) -> dpot_tpu FNO3d
+    params['params']. The reference stores torch.cfloat spectral weights;
+    this framework keeps everything real on device, so they are split into
+    the real-stacked (2, I, O, m1, m2, m3) layout."""
+    sd = strip_module_prefix(sd)
+
+    def _split_complex(t):
+        a = _np(t)
+        return np.stack([a.real, a.imag], axis=0).astype(np.float32)
+
+    p: dict[str, Any] = {
+        "fc0": _linear(sd, "fc0"),
+        "fc1": _linear(sd, "fc1"),
+        "fc2": _linear(sd, "fc2"),
+    }
+    for i in range(n_layers):
+        p[f"spectral_{i}"] = {
+            f"weights{k}": _split_complex(sd[f"spectral_convs.{i}.weights{k}"])
+            for k in range(1, 5)
+        }
+        p[f"w_{i}"] = _dense_from_1x1_nd(sd, f"convs.{i}")
+        if use_ln and f"ln_layers.{i}.weight" in sd:
+            p[f"ln_{i}"] = _groupnorm(sd, f"ln_layers.{i}")
+    return {"params": p}
+
+
 def unet_params_from_torch(sd: Mapping[str, Any]) -> dict:
     """Reference UNet state dict (models/unet.py:372-564) -> dpot_tpu UNet
     variables {'params', 'batch_stats'}.
