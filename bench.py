@@ -39,7 +39,7 @@ def _fetch(a):
     """Device->host scalar fetch. Rank-0 transfers are UNIMPLEMENTED on the
     tunneled TPU backend and block_until_ready does not reliably fence;
     fetching a real (1,1) value is the only dependable fence."""
-    return float(np.asarray(a.reshape(1, 1))[0, 0])
+    return float(np.asarray(a.reshape(-1)[:1].reshape(1, 1))[0, 0])
 
 
 def bench_train(preset: str, batch: int, remat: bool = False,
@@ -178,28 +178,117 @@ def bench_inference(preset: str = "M", batch: int = 8, iters: int = 50) -> dict:
     }
 
 
+# Ladder entries: name -> (callable, env overrides). Each runs in a FRESH
+# subprocess — sharing one process poisons small-model numbers (leftover
+# XLA arenas/state from the big runs measured Ti at 93 steps/s in-process
+# vs 175 standalone), and the entries stay sequential (one TPU client).
+LADDER = {
+    "m8": (lambda: bench_train("M", 8), {}),
+    "m8_fused": (lambda: _fused_ab(), {}),
+    "ti8": (lambda: bench_train("Ti", 8), {}),
+    "s8": (lambda: bench_train("S", 8), {}),
+    "m16": (lambda: bench_train("M", 16), {}),
+    "l4_remat": (lambda: bench_train("L", 4, remat=True, iters=10), {}),
+    # 1.03B DPOT-H on ONE 16GB chip: donation + remat fit params (4.1GB)
+    # + f32 lamb moments (8.2GB) + grads/activations; ~15 steps/s at B=1,
+    # ~10.9 at B=4
+    "h1_remat": (lambda: bench_train("H", 1, remat=True, iters=10), {}),
+    "3d": (lambda: bench_train_3d(), {}),
+    "infer_b1": (lambda: bench_inference("M", 1), {}),
+    "infer_b8": (lambda: bench_inference("M", 8), {}),
+    "infer_scan_b1": (lambda: bench_inference_scan("M", 1), {}),
+    "infer_scan_b8": (lambda: bench_inference_scan("M", 8), {}),
+}
+
+
+def _fused_ab() -> dict:
+    """Fused GN+AFNO Pallas kernel A/B line (VERDICT r1 item 10): measured
+    at parity with the XLA-composed default — recorded so the comparison
+    stays reproducible."""
+    os.environ["DPOT_AFNO_IMPL"] = "fused"
+    r = bench_train("M", 8)
+    r["metric"] = r["metric"].replace(
+        "DPOT-M", "DPOT-M [DPOT_AFNO_IMPL=fused pallas]"
+    )
+    return r
+
+
+def bench_inference_scan(
+    preset: str = "M", batch: int = 1, t_test: int = 20, iters: int = 10
+) -> dict:
+    """Amortized AR-step latency with the WHOLE trajectory rolled inside
+    one jit (lax.scan — the evaluate/serving path). The per-dispatch
+    bench_inference number includes ~3-4 ms of tunnel dispatch overhead per
+    step; this is the device-bound figure."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpot_tpu.models import build_model
+    from dpot_tpu.train.step import make_eval_rollout
+
+    model = build_model(
+        "DPOT", preset=preset, img_size=128, patch_size=8, in_channels=4,
+        in_timesteps=10, out_timesteps=1, modes=32, n_cls=12,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    b = {
+        "x": jnp.asarray(rng.standard_normal((batch, 128, 128, 10, 4)), jnp.float32),
+        "y": jnp.zeros((batch, 128, 128, t_test, 4), jnp.float32),
+        "msk": jnp.ones((batch, 128, 128, 1, 4), jnp.float32),
+    }
+    params = model.init(jax.random.key(0), b["x"])
+    roll = make_eval_rollout(t_bundle=1)
+    for _ in range(WARMUP):
+        out = roll(model.apply, params, b)
+    _fetch(out["loss_full"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = roll(model.apply, params, b)
+    _fetch(out["loss_full"])
+    dt = (time.perf_counter() - t0) / iters / t_test * 1e3
+    return {
+        "metric": (
+            f"DPOT-{preset} scanned-rollout latency "
+            f"(B={batch}, {t_test} steps in one jit, 128^2, bf16)"
+        ),
+        "value": round(dt, 3),
+        "unit": "ms/step",
+        "vs_baseline": None,
+    }
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+    entry = os.environ.get("DPOT_BENCH_ENTRY")
+    if entry:
+        fn, env = LADDER[entry]
+        os.environ.update(env)
+        print(json.dumps(fn()), flush=True)
+        return
+
     if os.environ.get("DPOT_BENCH_LADDER"):
-        print(json.dumps(bench_train("M", 8)), flush=True)
-        # fused GN+AFNO Pallas kernel A/B (VERDICT r1 item 10): measured at
-        # parity with the XLA-composed default — recorded here so the
-        # comparison stays reproducible
-        os.environ["DPOT_AFNO_IMPL"] = "fused"
-        r = bench_train("M", 8)
-        r["metric"] = r["metric"].replace(
-            "DPOT-M", "DPOT-M [DPOT_AFNO_IMPL=fused pallas]"
-        )
-        print(json.dumps(r), flush=True)
-        os.environ.pop("DPOT_AFNO_IMPL", None)
-        print(json.dumps(bench_train("Ti", 8)), flush=True)
-        print(json.dumps(bench_train("S", 8)), flush=True)
-        print(json.dumps(bench_train("M", 16)), flush=True)
-        print(json.dumps(bench_train("L", 4, remat=True, iters=10)), flush=True)
-        print(json.dumps(bench_train_3d()), flush=True)
-        print(json.dumps(bench_inference("M", 1)), flush=True)
-        print(json.dumps(bench_inference("M", 8)), flush=True)
+        import subprocess
+
+        for name in LADDER:
+            env = dict(os.environ, DPOT_BENCH_ENTRY=name)
+            env.pop("DPOT_BENCH_LADDER", None)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if proc.returncode != 0:
+                print(
+                    json.dumps({"metric": f"ladder entry {name} FAILED",
+                                "value": None, "unit": "",
+                                "vs_baseline": None}),
+                    flush=True,
+                )
+                sys.stderr.write(proc.stderr[-2000:] + "\n")
         return
 
     preset = os.environ.get("DPOT_BENCH_PRESET", "M")

@@ -20,10 +20,8 @@ def main(argv=None):
 
     from dpot_tpu.models import build_model
     from dpot_tpu.train.checkpoint import save_checkpoint
-    from dpot_tpu.train.interop import (
-        dpot_params_from_torch,
-        load_torch_checkpoint,
-    )
+    from dpot_tpu.train import interop
+    from dpot_tpu.train.interop import load_torch_checkpoint
     from dpot_tpu.train.optimizers import build_optimizer
     from dpot_tpu.train.state import TrainState
     from dpot_tpu.utils.config import load_config
@@ -46,13 +44,35 @@ def main(argv=None):
         out_layer_dim=cfg.out_layer_dim, n_cls=len(cfg.train_paths),
         normalize=cfg.normalize,
     )
-    params = jax.tree.map(
-        jnp.asarray,
-        dpot_params_from_torch(
+    # per-family converter dispatch (DPOT 2D/3D, CDPOT, FNO 2D/3D, UNet)
+    name = cfg.model.upper()
+    if name == "DPOT":
+        conv = interop.dpot_params_from_torch(
             sd, depth=cfg.n_layers, normalize=cfg.normalize,
             latent_size=(cfg.res // cfg.patch_size, cfg.res // cfg.patch_size),
-        ),
-    )
+        )
+    elif name == "DPOT3D":
+        conv = interop.dpot3d_params_from_torch(
+            sd, depth=cfg.n_layers, normalize=cfg.normalize
+        )
+    elif name == "CDPOT":
+        conv = interop.cdpot_params_from_torch(
+            sd, depth=cfg.n_layers, normalize=cfg.normalize
+        )
+    elif name == "FNO":
+        conv = interop.fno2d_params_from_torch(
+            sd, n_layers=cfg.n_layers, normalize=cfg.normalize,
+            use_ln=bool(cfg.use_ln),
+        )
+    elif name == "FNO3D":
+        conv = interop.fno3d_params_from_torch(
+            sd, n_layers=cfg.n_layers, use_ln=bool(cfg.use_ln)
+        )
+    elif name == "UNET":
+        conv = interop.unet_params_from_torch(sd)
+    else:
+        raise ValueError(f"no converter for model {cfg.model!r}")
+    params = jax.tree.map(jnp.asarray, conv)
     tx = build_optimizer(cfg.opt, cfg.lr)
     state = TrainState.create(model.apply, params, tx, jax.random.key(0))
     save_checkpoint(out_path, state, config=vars(cfg))

@@ -1,0 +1,269 @@
+"""Minimal production rollout server for trained DPOT-family models.
+
+The reference ships no serving path (its evaluate.py:183-222 is the closest
+thing — an offline AR rollout loop); this is the framework's deployment
+surface. TPU-native design:
+
+- ONE jitted autoregressive rollout per (batch_bucket, n_steps) — shapes are
+  static under jit, so requests are padded up to the nearest batch bucket
+  (powers of two) and each bucket compiles exactly once (warmup precompiles
+  the common ones at startup).
+- Micro-batching: concurrent requests within `max_wait_ms` are concatenated
+  into one device step, amortizing dispatch overhead (~0.5-1 ms on a
+  tunneled chip) and filling the MXU batch dimension.
+- Transport: stdlib ThreadingHTTPServer; tensors travel as raw .npy bodies
+  (application/octet-stream), metadata in headers/query — no serialization
+  stack to install.
+
+Endpoints:
+  GET  /healthz            -> JSON {ok, model, params_m, buckets}
+  POST /rollout?steps=N    -> body: .npy array (B, H, W, T_in, C) float32
+                              response: .npy array (B, H, W, N, C)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+
+import numpy as np
+
+
+def _npy_bytes(a: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, a)
+    return buf.getvalue()
+
+
+class _Pending:
+    __slots__ = ("x", "steps", "event", "result", "error")
+
+    def __init__(self, x: np.ndarray, steps: int):
+        self.x = x
+        self.steps = steps
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[str] = None
+
+
+class RolloutServer:
+    """Owns the model, the jitted rollout cache, and the micro-batcher."""
+
+    def __init__(
+        self,
+        model: Any,
+        params: Any,
+        t_bundle: int = 1,
+        batch_buckets: tuple[int, ...] = (1, 2, 4, 8),
+        max_wait_ms: float = 2.0,
+        warmup_steps: tuple[int, ...] = (1,),
+    ):
+        import jax
+
+        self.model = model
+        self.params = params
+        self.t_bundle = t_bundle
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self.max_wait_ms = max_wait_ms
+        self._rollout_cache: dict[int, Any] = {}
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self.n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree.leaves(params)
+        )
+        self._warmup_steps = warmup_steps
+
+    # ---- compute -----------------------------------------------------
+
+    def _rollout_fn(self, n_steps: int):
+        """Jitted n_steps-step AR rollout (evaluate.py:183-216 semantics)."""
+        if n_steps in self._rollout_cache:
+            return self._rollout_cache[n_steps]
+
+        import jax
+        import jax.numpy as jnp
+
+        model, tb = self.model, self.t_bundle
+
+        @jax.jit
+        def roll(params, x):
+            def body(carry, _):
+                out = model.apply(params, carry)
+                im = out[0] if isinstance(out, tuple) else out
+                nxt = jnp.concatenate([carry[..., tb:, :], im], axis=-2)
+                return nxt, im
+
+            _, ims = jax.lax.scan(body, x, None, length=n_steps)
+            # (n_steps, B, H, W, tb, C) -> (B, H, W, n_steps*tb, C)
+            pred = jnp.moveaxis(ims, 0, -3).reshape(
+                *x.shape[:-2], n_steps * tb, x.shape[-1]
+            )
+            return pred
+
+        self._rollout_cache[n_steps] = roll
+        return roll
+
+    def _bucket(self, b: int) -> int:
+        for cap in self.batch_buckets:
+            if b <= cap:
+                return cap
+        return self.batch_buckets[-1]
+
+    def _run_batch(self, items: list[_Pending]) -> None:
+        import jax.numpy as jnp
+
+        try:
+            xs = np.concatenate([it.x for it in items], axis=0)
+            b = xs.shape[0]
+            cap = self._bucket(b)
+            if b < cap:  # pad to the compiled bucket
+                pad = np.repeat(xs[:1], cap - b, axis=0)
+                xs = np.concatenate([xs, pad], axis=0)
+            pred = self._rollout_fn(items[0].steps)(
+                self.params, jnp.asarray(xs)
+            )
+            pred_np = np.asarray(pred[:b])
+            off = 0
+            for it in items:
+                n = it.x.shape[0]
+                it.result = pred_np[off : off + n]
+                off += n
+        except Exception as e:  # surface errors to every waiter
+            for it in items:
+                it.error = f"{type(e).__name__}: {e}"
+        finally:
+            for it in items:
+                it.event.set()
+
+    def _drain(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            items = [first]
+            deadline = time.perf_counter() + self.max_wait_ms / 1e3
+            cap = self.batch_buckets[-1]
+            total = first.x.shape[0]
+            # micro-batch: gather compatible requests until the bucket is
+            # full or the wait budget runs out
+            while total < cap:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if (
+                    nxt.steps == first.steps
+                    and nxt.x.shape[1:] == first.x.shape[1:]
+                    and total + nxt.x.shape[0] <= cap
+                ):
+                    items.append(nxt)
+                    total += nxt.x.shape[0]
+                else:
+                    self._run_batch([nxt])  # incompatible: run alone
+            self._run_batch(items)
+
+    # ---- lifecycle ---------------------------------------------------
+
+    def start(self) -> None:
+        for s in self._warmup_steps:
+            # compile the largest bucket for each warmup step count
+            cap = self.batch_buckets[-1]
+            shape = (cap, self.model.img_size, self.model.img_size,
+                     self.model.in_timesteps, self.model.in_channels)
+            p = _Pending(np.zeros(shape, np.float32), s)
+            self._run_batch([p])
+            if p.error:
+                raise RuntimeError(f"warmup failed: {p.error}")
+        self._worker.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def submit(self, x: np.ndarray, steps: int) -> np.ndarray:
+        """Blocking rollout request (thread-safe)."""
+        if x.ndim != 5:
+            raise ValueError(f"expected (B,H,W,T,C), got shape {x.shape}")
+        p = _Pending(np.asarray(x, np.float32), int(steps))
+        self._queue.put(p)
+        p.event.wait()
+        if p.error:
+            raise RuntimeError(p.error)
+        return p.result
+
+    def health(self) -> dict:
+        return {
+            "ok": True,
+            "model": type(self.model).__name__,
+            "params_m": round(self.n_params / 1e6, 2),
+            "buckets": list(self.batch_buckets),
+            "compiled_steps": sorted(self._rollout_cache),
+        }
+
+
+def _make_handler(server: RolloutServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                self._json(200, server.health())
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if not self.path.startswith("/rollout"):
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                steps = 1
+                if "steps=" in self.path:
+                    steps = int(self.path.split("steps=")[1].split("&")[0])
+                n = int(self.headers.get("Content-Length", "0"))
+                x = np.load(io.BytesIO(self.rfile.read(n)))
+                pred = server.submit(x, steps)
+                body = _npy_bytes(pred)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(
+    model: Any,
+    params: Any,
+    host: str = "127.0.0.1",
+    port: int = 8476,
+    **kw,
+) -> tuple[ThreadingHTTPServer, RolloutServer]:
+    """Start the rollout server; returns (httpd, rollout_server). Caller
+    owns shutdown: httpd.shutdown(); rollout_server.stop()."""
+    rs = RolloutServer(model, params, **kw)
+    rs.start()
+    httpd = ThreadingHTTPServer((host, port), _make_handler(rs))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, rs

@@ -28,6 +28,7 @@ class TrainConfig:
     act: str = "gelu"
     normalize: bool = False
     time_agg: str = "exp_mlp"
+    use_ln: int = 0  # FNO GroupNorm(4) layers (reference configs use_ln)
 
     # data (train_temporal.py:39-47)
     train_paths: List[str] = dataclasses.field(
@@ -60,6 +61,8 @@ class TrainConfig:
     # runtime
     seed: int = 0
     num_workers: int = 8
+    n_channels: int = 4  # model input channels when no dataset infers them
+                         # (serve CLI; training derives it from the mixture)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     remat: bool = False
     mesh_data: Optional[int] = None  # None = all devices

@@ -111,3 +111,49 @@ def test_convert_cli(tmp_path):
         ).split()
     )
     assert np.isfinite(results["synth_rt"]["loss_full"])
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference mount unavailable"
+)
+def test_convert_cli_fno(tmp_path):
+    """Converter dispatch for non-DPOT families: reference FNO2d .pth ->
+    native checkpoint -> evaluate."""
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_fno_cli", "/root/reference/models/fno.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(0)
+    # FNO runs patch_size=1 for AR rollout (patch>1 outputs at latent
+    # resolution — the reference convention, see test_models_families)
+    tmodel = mod.FNO2d(
+        modes1=4, modes2=4, width=32, img_size=16, n_channels=2,
+        in_timesteps=6, out_timesteps=1, n_layers=1, patch_size=1, n_cls=1,
+    )
+    pth = str(tmp_path / "fno.pth")
+    torch.save({"model": tmodel.state_dict()}, pth)
+
+    from dpot_tpu.cli.convert import main as convert_main
+    from dpot_tpu.cli.evaluate import main as eval_main
+
+    fno_args = MODEL_ARGS.replace("--patch_size 4", "--patch_size 1")
+    out = str(tmp_path / "fno_native")
+    convert_main(
+        (
+            f"--model FNO --train_paths synth_rt {fno_args} "
+            f"--resume_path {pth} --out_path {out}"
+        ).split()
+    )
+    assert os.path.exists(os.path.join(out, "state"))
+    results = eval_main(
+        (
+            f"--model FNO --train_paths synth_rt --test_paths synth_rt "
+            f"{fno_args} --resume_path {out}"
+        ).split()
+    )
+    assert np.isfinite(results["synth_rt"]["loss_full"])

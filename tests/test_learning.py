@@ -70,3 +70,42 @@ def test_dpot_learns_synthetic_dynamics():
     assert train_rel < 0.3 * first, (first, train_rel)
     assert train_rel < 0.3, train_rel
     assert test_rel < 0.7, test_rel
+
+
+def test_dpot_learning_smoke_default_suite():
+    """Driver-visible (non-slow) proof that the full train step LEARNS:
+    ~100 steps on a tiny synthetic task must cut the step loss by >40%
+    (the full fit-to-tolerance test above stays slow-marked)."""
+    make_synthetic_spec(
+        "learn_smoke", train_size=16, test_size=4, t_total=12, t_test=4,
+        in_size=(16, 16), n_channels=1,
+    )
+    ds = MixedTemporalDataset(["learn_smoke"], res=16, t_in=4, t_ar=1,
+                              train=True)
+    dl = DataLoader(ds, 8, shuffle=True, num_workers=0, seed=0)
+
+    model = build_model(
+        "DPOT", img_size=16, patch_size=4, in_channels=1, in_timesteps=4,
+        out_timesteps=1, embed_dim=32, depth=2, n_blocks=4, modes=4, n_cls=1,
+    )
+    params = model.init(jax.random.key(0), jnp.zeros((8, 16, 16, 4, 1)))
+    epochs = 50
+    sched = build_schedule("cycle", 2e-3, len(dl), epochs, warmup_epochs=2)
+    tx = build_optimizer("adam", sched, grad_clip=1.0)
+    state = TrainState.create(model.apply, params, tx, jax.random.key(1))
+    step = make_train_step(t_bundle=1, noise_scale=0.0, donate=False)
+
+    first = last = None
+    for ep in range(epochs):
+        tot = 0.0
+        for x, y, msk, cls in dl:
+            state, aux = step(
+                state, {"x": jnp.asarray(x), "y": jnp.asarray(y),
+                        "msk": jnp.asarray(msk), "cls": jnp.asarray(cls)}
+            )
+            tot += float(jnp.reshape(aux["loss_step"], ()))
+        if first is None:
+            first = tot
+        last = tot
+    assert np.isfinite(last)
+    assert last < 0.6 * first, (first, last)

@@ -1,0 +1,100 @@
+"""Rollout serving: micro-batched jitted AR rollout behind HTTP.
+
+Checks (CPU backend): server warmup + health, correctness of a served
+rollout vs a direct model scan, micro-batching of concurrent requests into
+one device step, and the CLI wiring."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dpot_tpu.models import build_model
+
+
+@pytest.fixture(scope="module")
+def served():
+    from dpot_tpu.serve import serve
+
+    model = build_model(
+        "DPOT", img_size=16, patch_size=4, in_channels=2, in_timesteps=4,
+        out_timesteps=1, embed_dim=32, depth=1, n_blocks=4, modes=4, n_cls=1,
+    )
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 4, 2)))
+    httpd, rs = serve(
+        model, params, port=0, batch_buckets=(1, 2, 4), max_wait_ms=30.0
+    )
+    port = httpd.server_address[1]
+    yield model, params, rs, port
+    httpd.shutdown()
+    rs.stop()
+
+
+def _post_rollout(port, x, steps):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/rollout?steps={steps}", method="POST"
+    )
+    buf = io.BytesIO()
+    np.save(buf, x)
+    req.data = buf.getvalue()
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return np.load(io.BytesIO(r.read()))
+
+
+def test_healthz_and_rollout_correctness(served):
+    model, params, rs, port = served
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthz", timeout=30
+    ) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["model"] == "DPOTNet"
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 16, 16, 4, 2)).astype(np.float32)
+    steps = 3
+    pred = _post_rollout(port, x, steps)
+    assert pred.shape == (1, 16, 16, steps, 2)
+
+    # direct reference rollout
+    xc = jnp.asarray(x)
+    outs = []
+    for _ in range(steps):
+        im, _ = model.apply(params, xc)
+        outs.append(np.asarray(im))
+        xc = jnp.concatenate([xc[..., 1:, :], im], axis=-2)
+    want = np.concatenate(outs, axis=-2)
+    np.testing.assert_allclose(pred, want, atol=1e-5, rtol=1e-5)
+
+
+def test_microbatching_merges_concurrent_requests(served):
+    model, params, rs, port = served
+    rng = np.random.default_rng(1)
+    xs = [rng.standard_normal((1, 16, 16, 4, 2)).astype(np.float32)
+          for _ in range(3)]
+    results = [None] * 3
+
+    def call(i):
+        results[i] = _post_rollout(port, xs[i], 1)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(3):
+        im, _ = model.apply(params, jnp.asarray(xs[i]))
+        np.testing.assert_allclose(
+            results[i][..., 0, :], np.asarray(im)[..., 0, :], atol=1e-5
+        )
+
+
+def test_rejects_bad_rank(served):
+    _, _, rs, port = served
+    bad = np.zeros((16, 16), np.float32)
+    with pytest.raises(Exception):
+        _post_rollout(port, bad, 1)
