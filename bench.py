@@ -43,7 +43,7 @@ def _fetch(a):
 
 
 def bench_train(preset: str, batch: int, remat: bool = False,
-                iters: int = ITERS) -> dict:
+                iters: int = ITERS, img: int = 128) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -54,15 +54,15 @@ def bench_train(preset: str, batch: int, remat: bool = False,
     from dpot_tpu.train.step import make_train_step
 
     model = build_model(
-        "DPOT", preset=preset, img_size=128, patch_size=8, in_channels=4,
+        "DPOT", preset=preset, img_size=img, patch_size=8, in_channels=4,
         in_timesteps=10, out_timesteps=1, modes=32, n_cls=12,
         dtype=jnp.bfloat16, remat=remat,
     )
     rng = np.random.default_rng(0)
     b = {
-        "x": jnp.asarray(rng.standard_normal((batch, 128, 128, 10, 4)), jnp.float32),
-        "y": jnp.asarray(rng.standard_normal((batch, 128, 128, 1, 4)), jnp.float32),
-        "msk": jnp.ones((batch, 128, 128, 1, 4), jnp.float32),
+        "x": jnp.asarray(rng.standard_normal((batch, img, img, 10, 4)), jnp.float32),
+        "y": jnp.asarray(rng.standard_normal((batch, img, img, 1, 4)), jnp.float32),
+        "msk": jnp.ones((batch, img, img, 1, 4), jnp.float32),
         "cls": jnp.zeros((batch,), jnp.int32),
     }
     params = model.init(jax.random.key(0), b["x"])
@@ -84,10 +84,14 @@ def bench_train(preset: str, batch: int, remat: bool = False,
     sps = 1.0 / dt
     tag = "+remat" if remat else ""
     return {
-        "metric": f"DPOT-{preset}{tag} train steps/sec/chip (B={batch}, 128^2, T_in=10, bf16)",
+        "metric": f"DPOT-{preset}{tag} train steps/sec/chip (B={batch}, {img}^2, T_in=10, bf16)",
         "value": round(sps, 3),
         "unit": "steps/sec",
-        "vs_baseline": round(sps / A100_BASELINE_STEPS_PER_SEC, 3),
+        # the A100 estimate is for the standard 128^2 operating point; a
+        # per-chip ratio at other resolutions would be apples-to-oranges
+        "vs_baseline": (
+            round(sps / A100_BASELINE_STEPS_PER_SEC, 3) if img == 128 else None
+        ),
     }
 
 
@@ -194,6 +198,9 @@ LADDER = {
     # ~10.9 at B=4
     "h1_remat": (lambda: bench_train("H", 1, remat=True, iters=10), {}),
     "3d": (lambda: bench_train_3d(), {}),
+    # native 512^2 training on ONE chip (the reference downscales >128^2
+    # data, griddataset.py:96; multi-chip spatial sharding scales further)
+    "ti_512": (lambda: bench_train("Ti", 2, remat=True, iters=10, img=512), {}),
     "infer_b1": (lambda: bench_inference("M", 1), {}),
     "infer_b8": (lambda: bench_inference("M", 8), {}),
     "infer_scan_b1": (lambda: bench_inference_scan("M", 1), {}),
