@@ -36,10 +36,11 @@ ITERS = 20
 
 
 def _fetch(a):
-    """Device->host scalar fetch. Rank-0 transfers are UNIMPLEMENTED on the
-    tunneled TPU backend and block_until_ready does not reliably fence;
-    fetching a real (1,1) value is the only dependable fence."""
-    return float(np.asarray(a.reshape(-1)[:1].reshape(1, 1))[0, 0])
+    """Device->host fence (see dpot_tpu.utils.profiling.fence — imported
+    lazily so bench.py parses without the package on sys.path)."""
+    from dpot_tpu.utils.profiling import fence
+
+    return fence(a)
 
 
 def bench_train(preset: str, batch: int, remat: bool = False,

@@ -20,6 +20,9 @@ def main(argv=None):
     # parallel_trainer.py:66): a no-op unless the env declares a
     # coordinator/process topology
     maybe_initialize()
+    from dpot_tpu.utils.profiling import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
     cfg = load_config(argv)
     print("config", vars(cfg))
     return train(cfg)

@@ -50,6 +50,15 @@ class DataLoader:
         self.num_shards = max(1, num_shards)
         self.shard_index = shard_index
         self._epoch = 0
+        if self.num_shards > 1 and batch_size % self.num_shards != 0:
+            # the shard path can only skip non-divisible batches; with an
+            # indivisible global batch size that would be EVERY batch —
+            # fail loudly instead of silently training zero steps
+            raise ValueError(
+                f"global batch_size {batch_size} must divide num_shards "
+                f"{self.num_shards} (every host loads batch_size/num_shards "
+                "items)"
+            )
 
     def __len__(self) -> int:
         n = len(self.dataset)

@@ -75,15 +75,19 @@ def _kernel(x_ref, gs_ref, gb_ref, A_ref, Ai_ref, W1_ref, B1_ref, W2_ref,
         out_ref[s] = (y + xn).astype(out_ref.dtype)
 
 
-def fused_gn_afno_supported(HW: int, C: int, nb: int, batch: int) -> bool:
+def fused_gn_afno_supported(
+    HW: int, C: int, nb: int, batch: int, hidden_size_factor: int = 1
+) -> bool:
     """Shapes the kernel handles efficiently: combined-operator latents,
-    MXU-aligned block channels, an even batch for the 2-sample tile."""
+    MXU-aligned block channels, an even batch for the 2-sample tile, and
+    a square mode MLP (the kernel's blocks assume hidden == 2*bs)."""
     bs = C // nb
     return (
         HW <= 4096
         and C % nb == 0
         and (2 * bs) % 128 == 0
         and batch % 2 == 0
+        and hidden_size_factor == 1
     )
 
 
@@ -91,6 +95,11 @@ def fused_gn_afno_supported(HW: int, C: int, nb: int, batch: int) -> bool:
 def _fused_fwd(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, *, K, nb, groups):
     B, HW, C = x.shape
     bs = C // nb
+    # the BlockSpecs below assume hidden == 2*bs; a hidden_size_factor > 1
+    # weight would be silently truncated otherwise
+    assert W1.shape[-1] == 2 * bs and W2.shape[-2] == 2 * bs, (
+        f"fused kernel requires hidden_size_factor == 1, got W1 {W1.shape}"
+    )
     bt = 2 if B % 2 == 0 else 1
     grid = (B // bt,)
     # interpret mode runs on CPU, whose dot has no bf16 x bf16 -> f32

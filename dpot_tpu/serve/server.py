@@ -121,14 +121,27 @@ class RolloutServer:
         try:
             xs = np.concatenate([it.x for it in items], axis=0)
             b = xs.shape[0]
-            cap = self._bucket(b)
-            if b < cap:  # pad to the compiled bucket
-                pad = np.repeat(xs[:1], cap - b, axis=0)
-                xs = np.concatenate([xs, pad], axis=0)
-            pred = self._rollout_fn(items[0].steps)(
-                self.params, jnp.asarray(xs)
-            )
-            pred_np = np.asarray(pred[:b])
+            roll = self._rollout_fn(items[0].steps)
+            max_cap = self.batch_buckets[-1]
+            if b > max_cap:
+                # oversize request: run in compiled max-bucket chunks
+                # (never trace a fresh batch shape per request)
+                chunks = []
+                for lo in range(0, b, max_cap):
+                    cx = xs[lo : lo + max_cap]
+                    n = cx.shape[0]
+                    if n < max_cap:
+                        cx = np.concatenate(
+                            [cx, np.repeat(cx[:1], max_cap - n, axis=0)], axis=0
+                        )
+                    chunks.append(np.asarray(roll(self.params, jnp.asarray(cx)))[:n])
+                pred_np = np.concatenate(chunks, axis=0)
+            else:
+                cap = self._bucket(b)
+                if b < cap:  # pad to the compiled bucket
+                    pad = np.repeat(xs[:1], cap - b, axis=0)
+                    xs = np.concatenate([xs, pad], axis=0)
+                pred_np = np.asarray(roll(self.params, jnp.asarray(xs)))[:b]
             off = 0
             for it in items:
                 n = it.x.shape[0]
@@ -142,18 +155,23 @@ class RolloutServer:
                 it.event.set()
 
     def _drain(self) -> None:
+        holdover: list[_Pending] = []  # deferred to the NEXT round, in order
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            if holdover:
+                first = holdover.pop(0)
+            else:
+                try:
+                    first = self._queue.get(timeout=0.1)
+                except queue.Empty:
+                    continue
             items = [first]
             deadline = time.perf_counter() + self.max_wait_ms / 1e3
             cap = self.batch_buckets[-1]
             total = first.x.shape[0]
             # micro-batch: gather compatible requests until the bucket is
-            # full or the wait budget runs out
-            while total < cap:
+            # full or the wait budget runs out; incompatible or overflowing
+            # requests are DEFERRED (never run ahead of this batch — FIFO)
+            while total < cap and not holdover:
                 timeout = deadline - time.perf_counter()
                 if timeout <= 0:
                     break
@@ -169,7 +187,7 @@ class RolloutServer:
                     items.append(nxt)
                     total += nxt.x.shape[0]
                 else:
-                    self._run_batch([nxt])  # incompatible: run alone
+                    holdover.append(nxt)
             self._run_batch(items)
 
     # ---- lifecycle ---------------------------------------------------

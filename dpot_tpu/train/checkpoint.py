@@ -65,8 +65,31 @@ def save_checkpoint(path: str, state: TrainState, config: Optional[dict] = None)
             json.dump(config, f, indent=2, default=str)
 
 
+def _wrap_saved_rng(data):
+    """Rebuild the PRNG key with the impl it was SAVED under, inferred from
+    the key-data layout (threefry2x32 = uint32[2], rbg = uint32[4]).
+    training_key() picks rbg on TPU / threefry on CPU, so a checkpoint may
+    be restored on a platform whose default impl differs — both impls run
+    on every backend, and keeping the saved impl keeps the exact noise
+    stream."""
+    import jax.numpy as jnp
+
+    arr = jnp.asarray(data)
+    impl = {2: "threefry2x32", 4: "rbg"}.get(int(arr.shape[-1]))
+    if impl is None:  # unknown layout: new stream, loudly
+        import warnings
+
+        warnings.warn(
+            f"unrecognized saved PRNG key layout {arr.shape}; starting a "
+            "fresh key"
+        )
+        return jax.random.key(0)
+    return jax.random.wrap_key_data(arr, impl=impl)
+
+
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
-    """Restore into an existing (abstract-compatible) TrainState."""
+    """Restore into an existing (abstract-compatible) TrainState. The rng
+    leaf is restored impl-agnostically (see _wrap_saved_rng)."""
     path = os.path.abspath(path)
     template = {
         "params": jax.device_get(state.params),
@@ -76,17 +99,28 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     }
     if _HAS_ORBAX and os.path.exists(os.path.join(path, "state")):
         ckpt = ocp.StandardCheckpointer()
-        payload = ckpt.restore(os.path.join(path, "state"), template)
+        try:
+            payload = ckpt.restore(os.path.join(path, "state"), template)
+        except Exception:
+            # rng layout mismatch (checkpoint from a platform with the
+            # other PRNG impl): retry with the alternative key-data shape
+            alt = 4 if np.shape(template["rng"])[-1] == 2 else 2
+            template["rng"] = np.zeros(
+                np.shape(template["rng"])[:-1] + (alt,), np.uint32
+            )
+            payload = ckpt.restore(os.path.join(path, "state"), template)
     else:
         data = np.load(os.path.join(path, "state.npz"), allow_pickle=True)
         flat = [data[k] for k in data.files if k != "treedef"]
         treedef = jax.tree.structure(template)
+        # unflatten is shape-agnostic, so a different saved rng layout
+        # rides through; _wrap_saved_rng re-infers its impl below
         payload = jax.tree.unflatten(treedef, flat)
     return state.replace(
         params=payload["params"],
         opt_state=payload["opt_state"],
         step=jax.numpy.asarray(payload["step"]),
-        rng=jax.random.wrap_key_data(jax.numpy.asarray(payload["rng"])),
+        rng=_wrap_saved_rng(payload["rng"]),
     )
 
 

@@ -32,10 +32,7 @@ from dpot_tpu.utils.config import TrainConfig
 from dpot_tpu.utils.metrics_logging import MetricWriter
 
 
-def _fetch(x) -> float:
-    """Device->host scalar fetch that works on backends where rank-0
-    transfers are unimplemented (the tunneled TPU)."""
-    return float(np.asarray(jnp.reshape(x, (1, 1)))[0, 0])
+from dpot_tpu.utils.profiling import fence as _fetch
 
 
 def build_everything(cfg: TrainConfig, mesh=None):
@@ -140,8 +137,6 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     writer.text(f"model {cfg.model} params {n_params/1e6:.2f}M devices {mesh.devices.size}")
 
-    ntrain = len(train_dl.dataset)
-    ntests = [len(dl.dataset) for dl in test_dls]
     it = 0
     loss_previous = np.inf
     last_good = jax.device_get(state.params), jax.device_get(state.opt_state)
@@ -151,6 +146,9 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
         t1 = t_1 = time.perf_counter()
         t_load = t_train = 0.0
         train_l2_step = train_l2_full = 0.0
+        train_seen = 0  # samples actually consumed (the sharded loader
+        # skips non-divisible trailing batches; normalizing by the dataset
+        # size would bias the reported losses low)
         steps_per_sample = 1.0
 
         # one-step-lagged metric fetch: step i+1 is dispatched before step
@@ -160,7 +158,7 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
         pending = None  # (aux, batch_size, steps_per_sample)
 
         def drain(pending):
-            nonlocal train_l2_step, train_l2_full, loss_previous, state
+            nonlocal train_l2_step, train_l2_full, train_seen, loss_previous, state
             if pending is None:
                 return
             aux_p, bsz, sps = pending
@@ -168,6 +166,7 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
             full_v = _fetch(aux_p["loss_full"])
             train_l2_step += loss_v
             train_l2_full += full_v
+            train_seen += bsz
             if writer.log_dir:
                 writer.scalar("train_loss_step", loss_v / (bsz * sps), it)
                 writer.scalar("train_loss_full", full_v / bsz, it)
@@ -201,6 +200,7 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
         host_params = state.params
         for di, dl in enumerate(test_dls):
             s_sum = f_sum = 0.0
+            n_seen = 0
             for x, y, msk, _ in dl:
                 out = roll_fn(
                     model.apply, host_params,
@@ -208,9 +208,11 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
                 )
                 s_sum += _fetch(out["loss_step"])
                 f_sum += _fetch(out["loss_full"])
+                n_seen += x.shape[0] * jax.process_count()
             steps = max(y.shape[-2] / cfg.T_bundle, 1)
-            test_l2_steps.append(s_sum / ntests[di] / steps)
-            test_l2_fulls.append(f_sum / ntests[di])
+            n_seen = max(n_seen, 1)
+            test_l2_steps.append(s_sum / n_seen / steps)
+            test_l2_fulls.append(f_sum / n_seen)
             if writer.log_dir:
                 writer.scalar(
                     f"test_loss_step_{cfg.test_paths[di]}", test_l2_steps[-1], ep
@@ -228,8 +230,8 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
 
         t_test = time.perf_counter() - t_1
         lr_now = _fetch(sched(state.step)) if callable(sched) else sched
-        tls = train_l2_step / ntrain / steps_per_sample
-        tlf = train_l2_full / ntrain
+        tls = train_l2_step / max(train_seen, 1) / steps_per_sample
+        tlf = train_l2_full / max(train_seen, 1)
         writer.text(
             "epoch {}, time {:.5f}, lr {:.2e}, train l2 step {:.5f} train l2 full {:.5f}, "
             "test l2 step {} test l2 full {}, time train avg {:.5f} load avg {:.5f} test {:.5f}".format(

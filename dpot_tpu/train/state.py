@@ -48,6 +48,21 @@ class TrainState:
     def create(cls, apply_fn, params, tx, rng):
         import jax.numpy as jnp
 
+        if (
+            isinstance(params, dict)
+            and "params" in params
+            and any(k != "params" for k in params)
+        ):
+            # variables tree carries non-parameter collections (UNet's
+            # batch_stats running averages): mask them out of the optimizer
+            # so no moments are allocated and no decay/trust-ratio math runs
+            # on state that the train step overwrites anyway (train/step.py)
+            mask = {
+                k: jax.tree.map(lambda _: k == "params", v)
+                for k, v in params.items()
+            }
+            tx = optax.masked(tx, mask)
+
         return cls(
             params=params,
             opt_state=tx.init(params),

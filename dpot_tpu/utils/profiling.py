@@ -20,11 +20,33 @@ import numpy as np
 
 
 def fence(x) -> float:
-    """Force device completion via a (1,1) value fetch (rank-0 transfers
-    are UNIMPLEMENTED on the tunneled TPU backend)."""
+    """Force device completion via a (1,1) value fetch and return the first
+    element as a float. Works for arrays of any shape.
+
+    This is THE device->host fence for this codebase (bench.py, train/loop,
+    tools/profile_step all use it): rank-0 transfers are UNIMPLEMENTED on
+    the tunneled TPU backend and block_until_ready does not reliably fence
+    there, so fetching a real (1,1) value is the only dependable barrier."""
     import jax.numpy as jnp
 
-    return float(np.asarray(jnp.reshape(x, (1, 1)))[0, 0])
+    return float(np.asarray(jnp.reshape(x, (-1,))[:1].reshape(1, 1))[0, 0])
+
+
+def maybe_enable_compilation_cache() -> None:
+    """Opt-in persistent XLA compilation cache (DPOT_COMPILE_CACHE=<dir>).
+
+    First compiles over the tunneled TPU take 20-40s+ per program; the
+    persistent cache makes repeat CLI invocations (train/evaluate/bench on
+    unchanged configs) start near-instantly. Env-gated because the cache
+    dir must be writable and per-machine."""
+    cache_dir = __import__("os").environ.get("DPOT_COMPILE_CACHE")
+    if not cache_dir:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: silently skip
 
 
 def timing(fn):

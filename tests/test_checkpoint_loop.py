@@ -111,3 +111,27 @@ def test_sweep_expansion():
     assert {(j["lr"], j["model"]) for j in jobs} == {
         (1e-3, "DPOT"), (1e-3, "FNO"), (1e-4, "DPOT"), (1e-4, "FNO")
     }
+
+
+def test_checkpoint_rng_cross_platform_impl(tmp_path):
+    """A checkpoint saved under the TPU rng impl (rbg, uint32[4] key data)
+    must restore on a platform whose fresh template uses threefry
+    (uint32[2]) — and keep the exact saved noise stream (train/state.py
+    training_key is platform-dependent)."""
+    model, state = small_state()
+    rbg_key = jax.random.key(7, impl="rbg")
+    state_rbg = state.replace(rng=rbg_key)
+    save_checkpoint(str(tmp_path / "ck"), state_rbg)
+
+    # fresh state on this (CPU) platform -> threefry template
+    _, fresh = small_state(seed=1)
+    assert jax.random.key_data(fresh.rng).shape[-1] == 2
+    restored = restore_checkpoint(str(tmp_path / "ck"), fresh)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored.rng)),
+        np.asarray(jax.random.key_data(rbg_key)),
+    )
+    # the stream continues identically
+    a = jax.random.normal(restored.rng, (4,))
+    b = jax.random.normal(rbg_key, (4,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

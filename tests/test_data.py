@@ -108,3 +108,21 @@ def test_loader_batches(synth_specs):
     dl2 = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=1)
     x2 = next(iter(dl2))[0]
     np.testing.assert_array_equal(x, x2)
+
+
+def test_sharded_loader_rejects_indivisible_batch():
+    """batch_size % num_shards != 0 would silently skip EVERY batch on the
+    multi-host path; the loader must refuse it at construction."""
+    import pytest
+
+    from dpot_tpu.data import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            raise AssertionError("should not be reached")
+
+    with pytest.raises(ValueError, match="num_shards"):
+        DataLoader(_DS(), batch_size=8, num_shards=3, shard_index=0)

@@ -98,3 +98,16 @@ def test_rejects_bad_rank(served):
     bad = np.zeros((16, 16), np.float32)
     with pytest.raises(Exception):
         _post_rollout(port, bad, 1)
+
+
+def test_oversize_request_chunks_through_buckets(served):
+    """B > max bucket must run in compiled max-bucket chunks, not trace a
+    fresh batch shape per request."""
+    model, params, rs, port = served
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((9, 16, 16, 4, 2)).astype(np.float32)
+    pred = _post_rollout(port, x, 1)
+    assert pred.shape == (9, 16, 16, 1, 2)
+    im, _ = model.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(pred[..., 0, :], np.asarray(im)[..., 0, :],
+                               atol=1e-5)
