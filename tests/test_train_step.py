@@ -97,3 +97,56 @@ def test_data_parallel_matches_single_device():
     l2 = jax.tree.leaves(jax.device_get(s2.params))
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_eval_rollout_trims_non_divisible_t_bundle():
+    """t_test % t_bundle != 0: the scan rollout over-predicts to the next
+    bundle boundary and must trim back to exactly t_test frames
+    (evaluate.py:183-216 semantics)."""
+    from dpot_tpu.models import build_model
+    from dpot_tpu.train.step import make_eval_rollout
+
+    model = build_model(
+        "DPOT", img_size=16, patch_size=4, in_channels=1, in_timesteps=4,
+        out_timesteps=2, embed_dim=32, depth=1, n_blocks=4, modes=4, n_cls=1,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4, 1)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    t_test = 5  # 3 bundles of 2 -> 6 predicted, trimmed to 5
+    roll = make_eval_rollout(t_bundle=2)
+    out = roll(
+        model.apply, params,
+        {
+            "x": x,
+            "y": jnp.zeros((2, 16, 16, t_test, 1), jnp.float32),
+            "msk": jnp.ones((2, 16, 16, 1, 1), jnp.float32),
+        },
+    )
+    assert out["pred"].shape == (2, 16, 16, t_test, 1)
+    assert np.isfinite(float(jnp.reshape(out["loss_full"], (1, 1))[0, 0]))
+
+
+def test_wrong_resolution_raises_with_both_sizes():
+    """Feeding a 32^2 batch to a 16^2 model must fail with an assert that
+    names both sizes (models/dpot.py img_size check)."""
+    from dpot_tpu.models import build_model
+
+    model = build_model(
+        "DPOT", img_size=16, patch_size=4, in_channels=1, in_timesteps=4,
+        out_timesteps=1, embed_dim=32, depth=1, n_blocks=4, modes=4, n_cls=1,
+    )
+    with pytest.raises(AssertionError, match="32x32.*16"):
+        model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 4, 1)))
+
+
+def test_rel_lp_loss_zero_target_guard():
+    """All-zero targets must not produce inf/nan (1e-8 guard in rel-L2,
+    reference criterion.py:56)."""
+    from dpot_tpu.utils.criterion import rel_lp_loss
+
+    pred = jnp.ones((2, 8, 8, 1, 2))
+    y = jnp.zeros((2, 8, 8, 1, 2))
+    msk = jnp.ones((2, 8, 8, 1, 2))
+    v = float(jnp.reshape(rel_lp_loss(pred, y, msk), (1, 1))[0, 0])
+    assert np.isfinite(v)
