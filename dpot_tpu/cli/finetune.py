@@ -53,17 +53,10 @@ def main(argv=None):
     )
     print(f"loaded components {cfg.load_components}: {len(copied)} subtrees")
 
-    # hand the merged params to the training loop via a pre-seeded resume
-    import os
-    import tempfile
-
-    from dpot_tpu.train.checkpoint import save_checkpoint
-
-    with tempfile.TemporaryDirectory() as td:
-        seeded = state.replace(params=merged)
-        save_checkpoint(os.path.join(td, "seed"), seeded)
-        cfg.resume_path = os.path.join(td, "seed")
-        return train(cfg)
+    # hand the merged params straight to the loop (train() rebuilds its
+    # own stack; clearing resume_path stops it re-restoring)
+    cfg.resume_path = ""
+    return train(cfg, init_params=merged)
 
 
 if __name__ == "__main__":

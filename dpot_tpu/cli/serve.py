@@ -4,7 +4,8 @@
         --res 128 --width 512 --n_layers 4 --port 8476
 
 Endpoints (dpot_tpu/serve/server.py): GET /healthz, POST /rollout?steps=N
-with a .npy (B, H, W, T_in, C) body -> .npy (B, H, W, N, C) prediction.
+with a .npy (B, H, W, T_in, C) body -> .npy (B, H, W, N*T_bundle, C)
+prediction (steps = model applications; each emits T_bundle frames).
 The reference has no serving path; this is the deployment surface of the
 rebuild (SURVEY.md §6 inference-latency harness, made into a service).
 """

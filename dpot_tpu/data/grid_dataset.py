@@ -320,6 +320,10 @@ class SteadyDataset2D:
         if x.ndim == 2:
             x, y = x[..., None], y[..., None]
         orig_size = list(y.shape)
+        if self.spec.pred_channels is not None:
+            # reference griddataset.py:432: the test mask keeps only the
+            # channels the dataset declares predictable
+            orig_size[-1] = self.spec.pred_channels
         x, y = self.pad_data(x), self.pad_data(y)
         msk = (
             np.ones((*x.shape[:2], 1, x.shape[-1]), np.float32)

@@ -62,9 +62,17 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        full = n // self.batch_size
+        rem = n % self.batch_size
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return full
+        if self.num_shards > 1:
+            # the shard path skips batches it can't split evenly; count
+            # only the survivors so schedules built from len(dl) match the
+            # steps actually run
+            tail = 1 if rem and rem % self.num_shards == 0 else 0
+            return full + tail
+        return full + (1 if rem else 0)
 
     def _batches(self) -> list[np.ndarray]:
         n = len(self.dataset)
@@ -117,13 +125,27 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that observes `stop`: a consumer that abandons
+            # iteration mid-epoch (exception/early break) would otherwise
+            # leave this thread blocked in q.put forever, leaking the pool
+            # and open HDF5 handles
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for gbase, b in pairs:
                     if stop.is_set():
                         return
-                    q.put(fetch_batch(pool, b, gbase))
-            q.put(None)
+                    if not put(fetch_batch(pool, b, gbase)):
+                        return
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

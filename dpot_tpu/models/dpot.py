@@ -131,6 +131,9 @@ class AFNO2D(nn.Module):
                 x, w1, b1, w2, b2, self.modes, get_activation(self.act),
                 mesh=mesh, axis_name=self.spatial_axis,
                 batch_axis=batch_axis,
+                compute_dtype=(
+                    self.dtype if self.dtype != jnp.float32 else None
+                ),
             )
         return afno_filter_2d(
             x, w1, b1, w2, b2, self.modes, get_activation(self.act),

@@ -30,6 +30,7 @@ def build_model(
     n_cls: int = 12,
     normalize: bool = False,
     act: str = "gelu",
+    use_ln: int = 0,  # FNO-family GroupNorm(4) layers (reference use_ln)
     preset: str | None = None,
     dtype=None,
     remat: bool = False,
@@ -58,6 +59,8 @@ def build_model(
     if preset is not None:
         kwargs.update(MODEL_PRESETS[preset])
     kwargs.update(overrides)
+    # FNO-family-only knob: pop so **kwargs model families never see it
+    use_ln = bool(kwargs.pop("use_ln", use_ln))
 
     if model in ("DPOT", "dpot"):
         from dpot_tpu.models.dpot import DPOTNet
@@ -83,6 +86,8 @@ def build_model(
             n_cls=n_cls,
             normalize=normalize,
             act=act,
+            use_ln=use_ln,
+            dtype=kwargs.get("dtype", dtype),
         )
     if model in ("FNO3D", "fno3d"):
         from dpot_tpu.models.fno import FNO3d
@@ -99,6 +104,8 @@ def build_model(
             n_layers=kwargs.get("depth", 4),
             n_cls=n_cls,
             normalize=normalize,
+            use_ln=use_ln,
+            dtype=kwargs.get("dtype", dtype),
         )
     if model in ("UNet", "unet"):
         from dpot_tpu.models.unet import UNet
@@ -110,6 +117,8 @@ def build_model(
             width=kwargs.get("out_layer_dim", 32),
             n_cls=n_cls,
             n_dim=2,
+            act=kwargs.get("act", act),
+            dtype=kwargs.get("dtype", dtype),
         )
     if model in ("CDPOT", "cdpot"):
         from dpot_tpu.models.cdpot import CDPOTNet

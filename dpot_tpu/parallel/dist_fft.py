@@ -49,6 +49,7 @@ def afno_filter_2d_sharded(
     mesh: Mesh,
     axis_name: str = "spatial",
     batch_axis: str | None = None,
+    compute_dtype=None,
 ) -> jax.Array:
     """AFNO 2D mixer with H sharded over `axis_name`. x: (B, H, W, C)
     global; H % axis_size == 0 required.
@@ -57,7 +58,12 @@ def afno_filter_2d_sharded(
     set, the shard_map splits B over it too (each data group runs its own
     pencil FFT; the all_to_alls stay within a 'spatial' subgroup), which
     is what the model-integrated dp x sp path uses. When None the batch
-    axis is replicated across 'data' (standalone-op usage)."""
+    axis is replicated across 'data' (standalone-op usage).
+
+    compute_dtype: bf16 runs the mode MLP at full MXU rate AND moves the
+    spectra through both all_to_all transposes at half the ICI bytes; the
+    DFT matmuls keep f32 accumulation (f32 const matrices promote). None
+    (default) is the f32 golden-parity path."""
     B, H, W, C = x.shape
     s = mesh.shape[axis_name]
     assert H % s == 0, f"H={H} must divide spatial axis {s}"
@@ -77,6 +83,9 @@ def afno_filter_2d_sharded(
 
         # 1) local rfft over W
         re, im = _rfft_axis(x32, 2)  # (B, H/s, Wf, C), unscaled
+        if compute_dtype is not None:
+            # half the ICI bytes through the transposes (bf16 spectra)
+            re, im = re.astype(compute_dtype), im.astype(compute_dtype)
         pad = ((0, 0), (0, 0), (0, Wfp - Wf), (0, 0))
         re, im = jnp.pad(re, pad), jnp.pad(im, pad)
 
@@ -95,7 +104,7 @@ def afno_filter_2d_sharded(
         n_local = Bl * H * wfs
         o_re, o_im = afno_mode_mlp(
             re.reshape(n_local, nb, bs), im.reshape(n_local, nb, bs),
-            w1, b1, w2, b2, act,
+            w1, b1, w2, b2, act, compute_dtype=compute_dtype,
         )
         o_re = o_re.reshape(Bl, H, wfs, C)
         o_im = o_im.reshape(Bl, H, wfs, C)
@@ -108,6 +117,8 @@ def afno_filter_2d_sharded(
 
         # 5) local inverse FFT over H (unscaled)
         yr, yi = _ifft_axis(o_re, o_im, 1)
+        if compute_dtype is not None:
+            yr, yi = yr.astype(compute_dtype), yi.astype(compute_dtype)
 
         # 6) transpose back: split H, gather W-freqs
         yr = jax.lax.all_to_all(yr, axis_name, split_axis=1, concat_axis=2,

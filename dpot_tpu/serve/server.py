@@ -18,7 +18,10 @@ surface. TPU-native design:
 Endpoints:
   GET  /healthz            -> JSON {ok, model, params_m, buckets}
   POST /rollout?steps=N    -> body: .npy array (B, H, W, T_in, C) float32
-                              response: .npy array (B, H, W, N, C)
+                              response: .npy array (B, H, W, N*t_bundle, C)
+                              — steps counts MODEL APPLICATIONS; each one
+                              emits t_bundle frames (t_bundle=1 default,
+                              so usually N frames)
 """
 
 from __future__ import annotations

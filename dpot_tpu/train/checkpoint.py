@@ -55,10 +55,17 @@ def save_checkpoint(path: str, state: TrainState, config: Optional[dict] = None)
         ckpt.wait_until_finished()
     else:  # flat-npz fallback
         flat, treedef = jax.tree.flatten(payload)
+        # record how many flat leaves belong to each top-level section
+        # (dict flattening is KEY-SORTED: opt_state < params < rng < step)
+        # so restore_params can slice out exactly the params leaves
+        sections = {
+            k: len(jax.tree.leaves(payload[k])) for k in sorted(payload)
+        }
         np.savez(
             os.path.join(path, "state.npz"),
             *[np.asarray(x) for x in flat],
             treedef=str(treedef),
+            sections=json.dumps(sections),
         )
     if config is not None:
         with open(os.path.join(path, "params.json"), "w") as f:
@@ -110,8 +117,7 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
             )
             payload = ckpt.restore(os.path.join(path, "state"), template)
     else:
-        data = np.load(os.path.join(path, "state.npz"), allow_pickle=True)
-        flat = [data[k] for k in data.files if k != "treedef"]
+        flat, _ = _npz_flat_leaves(os.path.join(path, "state.npz"))
         treedef = jax.tree.structure(template)
         # unflatten is shape-agnostic, so a different saved rng layout
         # rides through; _wrap_saved_rng re-infers its impl below
@@ -122,6 +128,21 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         step=jax.numpy.asarray(payload["step"]),
         rng=_wrap_saved_rng(payload["rng"]),
     )
+
+
+def _npz_flat_leaves(npz_path: str):
+    """Flat payload leaves from the npz fallback, in flatten (arr_i) order,
+    plus the 'sections' leaf-count map when present."""
+    data = np.load(npz_path, allow_pickle=True)
+    arr_keys = sorted(
+        (k for k in data.files if k.startswith("arr_")),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    flat = [data[k] for k in arr_keys]
+    sections = (
+        json.loads(str(data["sections"])) if "sections" in data.files else None
+    )
+    return flat, sections
 
 
 def restore_params(path: str, params_template: Any) -> Any:
@@ -135,12 +156,26 @@ def restore_params(path: str, params_template: Any) -> Any:
         # re-impose the template treedef (orbax returns plain dicts)
         treedef = jax.tree.structure(jax.device_get(params_template))
         return jax.tree.unflatten(treedef, jax.tree.leaves(restored))
-    # fall back to full-state npz
-    data = np.load(os.path.join(path, "state.npz"), allow_pickle=True)
+    # fall back to full-state npz. Dict flattening is KEY-SORTED
+    # ('opt_state' < 'params' < 'rng' < 'step'), so the params leaves sit
+    # AFTER opt_state's — located via the saved per-section leaf counts.
+    flat, sections = _npz_flat_leaves(os.path.join(path, "state.npz"))
+    if sections is None:
+        raise ValueError(
+            "legacy state.npz without section metadata cannot be sliced "
+            "safely for params-only restore; use restore_checkpoint"
+        )
     flat_template, treedef = jax.tree.flatten(jax.device_get(params_template))
-    flat = [data[k] for k in data.files if k != "treedef"]
-    # params leaves come first in the payload flattening order
-    return jax.tree.unflatten(treedef, flat[: len(flat_template)])
+    start = 0
+    for name in sorted(sections):
+        if name == "params":
+            break
+        start += sections[name]
+    leaves = flat[start : start + sections["params"]]
+    assert len(leaves) == len(flat_template), (
+        len(leaves), len(flat_template),
+    )
+    return jax.tree.unflatten(treedef, leaves)
 
 
 # ---------------------------------------------------------------------------

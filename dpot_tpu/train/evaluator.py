@@ -26,8 +26,7 @@ from dpot_tpu.train.step import make_eval_rollout
 from dpot_tpu.utils.criterion import rel_lp_loss
 
 
-def _fetch(x) -> float:
-    return float(np.asarray(jnp.reshape(x, (1, 1)))[0, 0])
+from dpot_tpu.utils.profiling import fence as _fetch
 
 
 def evaluate(
@@ -82,14 +81,31 @@ def evaluate(
             if full_metrics:
                 pred = out["pred"] * batch["msk"]
                 tgt = batch["y"] * batch["msk"]
+                # fully-masked channels (pred_channels < n_channels, or the
+                # mixture's channel padding) have tgt == 0, so the relative
+                # metrics are 0/0 there — average only over live channels
+                valid = (
+                    jnp.sum(batch["msk"], axis=tuple(range(batch["msk"].ndim - 1)))
+                    > 0
+                )  # (C,)
+                nvalid = jnp.maximum(jnp.sum(valid), 1)
+
+                def vmean(v):
+                    v = jnp.asarray(v)
+                    if v.shape and v.shape[-1] == valid.shape[0]:
+                        return (
+                            jnp.sum(jnp.where(valid, v, 0.0), axis=-1) / nvalid
+                        ).mean()
+                    return jnp.mean(v)
+
                 m = evaluator_metrics(pred, tgt, temporal=False)
                 bd = boundary_rmse_2d(pred, tgt)
                 lo, mid, hi = spectral_band_mse_2d(pred, tgt)
                 for k, v in {
-                    "nmae": jnp.mean(m["nmae"]), "nmse": jnp.mean(m["nmse"]),
-                    "nmxe": jnp.mean(m["nmxe"]), "bdmse": jnp.mean(bd),
-                    "fmse_low": jnp.mean(lo), "fmse_mid": jnp.mean(mid),
-                    "fmse_high": jnp.mean(hi),
+                    "nmae": vmean(m["nmae"]), "nmse": vmean(m["nmse"]),
+                    "nmxe": vmean(m["nmxe"]), "bdmse": vmean(bd),
+                    "fmse_low": vmean(lo), "fmse_mid": vmean(mid),
+                    "fmse_high": vmean(hi),
                 }.items():
                     extra[k] = extra.get(k, 0.0) + _fetch(v)
         results[path] = {

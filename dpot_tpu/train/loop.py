@@ -75,7 +75,8 @@ def build_everything(cfg: TrainConfig, mesh=None):
         out_timesteps=cfg.T_bundle, embed_dim=cfg.width, modes=cfg.modes,
         depth=cfg.n_layers, n_blocks=cfg.n_blocks, mlp_ratio=cfg.mlp_ratio,
         out_layer_dim=cfg.out_layer_dim, act=cfg.act, n_cls=len(cfg.train_paths),
-        normalize=cfg.normalize, dtype=dtype, remat=cfg.remat, **extra,
+        normalize=cfg.normalize, use_ln=cfg.use_ln, dtype=dtype,
+        remat=cfg.remat, **extra,
     )
 
     sched = build_schedule(
@@ -99,7 +100,13 @@ def build_everything(cfg: TrainConfig, mesh=None):
     return model, state, sched, train_dl, test_dls, train_ds
 
 
-def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
+def train(
+    cfg: TrainConfig,
+    log_dir: Optional[str] = None,
+    init_params=None,
+) -> dict:
+    """init_params: caller-provided starting params (e.g. cli/finetune's
+    component-merged tree) — takes precedence over cfg.resume_path."""
     mesh = make_mesh(data=cfg.mesh_data, spatial=cfg.mesh_spatial)
     model, state, sched, train_dl, test_dls, train_ds = build_everything(
         cfg, mesh=mesh
@@ -113,7 +120,10 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
     writer = MetricWriter(log_dir)
     ckpt_dir = os.path.join(log_dir, "model") if log_dir else None
 
-    if cfg.resume_path:
+    if init_params is not None:
+        state = state.replace(params=init_params)
+        writer.text("starting from caller-provided params")
+    elif cfg.resume_path:
         from dpot_tpu.train.checkpoint import restore_params
 
         src = restore_params(cfg.resume_path, state.params)
@@ -138,7 +148,7 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
     writer.text(f"model {cfg.model} params {n_params/1e6:.2f}M devices {mesh.devices.size}")
 
     it = 0
-    loss_previous = np.inf
+    loss_ema = None  # running mean of per-batch losses (failure detector)
     last_good = jax.device_get(state.params), jax.device_get(state.opt_state)
     history = {}
 
@@ -158,7 +168,7 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
         pending = None  # (aux, batch_size, steps_per_sample)
 
         def drain(pending):
-            nonlocal train_l2_step, train_l2_full, train_seen, loss_previous, state
+            nonlocal train_l2_step, train_l2_full, train_seen, loss_ema, state
             if pending is None:
                 return
             aux_p, bsz, sps = pending
@@ -170,13 +180,29 @@ def train(cfg: TrainConfig, log_dir: Optional[str] = None) -> dict:
             if writer.log_dir:
                 writer.scalar("train_loss_step", loss_v / (bsz * sps), it)
                 writer.scalar("train_loss_full", full_v / bsz, it)
-            if loss_v > 10 * loss_previous:
-                writer.text("loss explodes, restoring previous good state")
+            # failure detection (cfg.rollback_factor; see config.py — the
+            # reference analogue train_temporal.py:240-245 is dead code).
+            # Compare against an EMA, not the previous batch: mixture
+            # batches legitimately differ by >10x between datasets.
+            exploded = (
+                cfg.rollback_factor > 0
+                and loss_ema is not None
+                and it > cfg.rollback_warmup_steps
+                and (loss_v > cfg.rollback_factor * loss_ema or not np.isfinite(loss_v))
+            )
+            if exploded:
+                writer.text(
+                    f"loss explodes ({loss_v:.3g} vs ema {loss_ema:.3g}), "
+                    "restoring previous good state"
+                )
                 state = state.replace(
                     params=replicate(last_good[0], mesh),
                     opt_state=replicate(last_good[1], mesh),
                 )
-            loss_previous = loss_v
+            elif np.isfinite(loss_v):
+                loss_ema = (
+                    loss_v if loss_ema is None else 0.9 * loss_ema + 0.1 * loss_v
+                )
 
         for x, y, msk, cls in train_dl:
             t_load += time.perf_counter() - t_1

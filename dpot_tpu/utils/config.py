@@ -58,6 +58,14 @@ class TrainConfig:
     batch_size: int = 8
     epochs: int = 500
 
+    # failure detection: rollback to the last good state when a batch
+    # loss exceeds rollback_factor x the running EMA of batch losses
+    # (0 disables). The reference's own check (train_temporal.py:240-245)
+    # compares against a loss_previous that stays inf and is therefore
+    # dead code; this is a working, statistically safer replacement.
+    rollback_factor: float = 10.0
+    rollback_warmup_steps: int = 20
+
     # runtime
     seed: int = 0
     num_workers: int = 8

@@ -135,3 +135,26 @@ def test_checkpoint_rng_cross_platform_impl(tmp_path):
     a = jax.random.normal(restored.rng, (4,))
     b = jax.random.normal(rbg_key, (4,))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_npz_fallback_params_slicing(tmp_path, monkeypatch):
+    """The no-orbax npz fallback: dict flattening is KEY-SORTED, so params
+    leaves sit AFTER opt_state's — restore_params must slice by the saved
+    section counts (it previously took flat[:n_params], i.e. opt_state)."""
+    import dpot_tpu.train.checkpoint as ck
+
+    monkeypatch.setattr(ck, "_HAS_ORBAX", False)
+    model, state = small_state()
+    # make params distinguishable from the (zero) Adam moments
+    params = jax.tree.map(lambda p: p + 1.5, state.params)
+    state = state.replace(params=params)
+    ck.save_checkpoint(str(tmp_path / "npz"), state)
+
+    got = ck.restore_params(str(tmp_path / "npz"), state.params)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    _, fresh = small_state(seed=3)
+    restored = ck.restore_checkpoint(str(tmp_path / "npz"), fresh)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

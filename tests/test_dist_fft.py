@@ -74,3 +74,22 @@ def test_sharded_afno_differentiable():
     g2 = jax.grad(loss_local)(args[0])
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-2,
                                rtol=1e-3)
+
+
+def test_sharded_afno_bf16_compute_dtype():
+    """compute_dtype=bf16 (the training fast path the model wires in,
+    models/dpot.py AFNO2D) must agree with the f32 sharded path within
+    bf16 tolerance — and must actually run (the dtype used to be dropped,
+    silently pinning the sharded mixer to f32)."""
+    mesh = make_mesh(data=2, spatial=4)
+    x, args = make_args()
+    act = get_activation("gelu")
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial", None, None)))
+    want = afno_filter_2d_sharded(xs, *args, 12, act, mesh=mesh)
+    got = afno_filter_2d_sharded(
+        xs, *args, 12, act, mesh=mesh, compute_dtype=jnp.bfloat16
+    )
+    rel = np.linalg.norm(np.asarray(got) - np.asarray(want)) / np.linalg.norm(
+        np.asarray(want)
+    )
+    assert rel < 2e-2, rel
