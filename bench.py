@@ -10,10 +10,13 @@ prints ONE JSON line:
 Knobs:
   DPOT_BENCH_PRESET=Ti|S|M|L|H   model preset (default M)
   DPOT_BENCH_BATCH=N             batch size (default 8)
-  DPOT_BENCH_LADDER=1            run the full ladder instead: train
-      Ti/S/M (B=8), M (B=16), L (B=4, remat), DPOT3D (64^3), and DPOT-M
-      AR-inference latency — one JSON line per entry (first line is the
-      headline M/B=8 metric for compatibility).
+  DPOT_BENCH_LADDER=1            run the full ladder instead (see LADDER):
+      M B=8 (+ fused-kernel A/B), Ti/S B=8, M B=16, L+remat B=4,
+      H+remat B=1 (1.03B on one chip), DPOT3D 64^3, native-512^2 Ti, and
+      DPOT-M inference (per-dispatch + scanned-rollout) — one JSON line
+      per entry, each in a FRESH subprocess (first line is the headline
+      M/B=8 metric for compatibility).
+  DPOT_BENCH_ENTRY=<name>        run one LADDER entry in this process
   DPOT_BENCH_REMAT=1             force remat on the single-preset run
 
 vs_baseline compares against an estimated A100 PyTorch fp32 step rate for
