@@ -186,29 +186,29 @@ def bench_inference(preset: str = "M", batch: int = 8, iters: int = 50) -> dict:
     }
 
 
-# Ladder entries: name -> (callable, env overrides). Each runs in a FRESH
-# subprocess — sharing one process poisons small-model numbers (leftover
-# XLA arenas/state from the big runs measured Ti at 93 steps/s in-process
-# vs 175 standalone), and the entries stay sequential (one TPU client).
+# Ladder entries: name -> callable. Each runs in a FRESH subprocess —
+# sharing one process poisons small-model numbers (leftover XLA
+# arenas/state from the big runs measured Ti at 93 steps/s in-process vs
+# 175 standalone), and the entries stay sequential (one TPU client).
 LADDER = {
-    "m8": (lambda: bench_train("M", 8), {}),
-    "m8_fused": (lambda: _fused_ab(), {}),
-    "ti8": (lambda: bench_train("Ti", 8), {}),
-    "s8": (lambda: bench_train("S", 8), {}),
-    "m16": (lambda: bench_train("M", 16), {}),
-    "l4_remat": (lambda: bench_train("L", 4, remat=True, iters=10), {}),
+    "m8": lambda: bench_train("M", 8),
+    "m8_fused": lambda: _fused_ab(),
+    "ti8": lambda: bench_train("Ti", 8),
+    "s8": lambda: bench_train("S", 8),
+    "m16": lambda: bench_train("M", 16),
+    "l4_remat": lambda: bench_train("L", 4, remat=True, iters=10),
     # 1.03B DPOT-H on ONE 16GB chip: donation + remat fit params (4.1GB)
     # + f32 lamb moments (8.2GB) + grads/activations; ~15 steps/s at B=1,
     # ~10.9 at B=4
-    "h1_remat": (lambda: bench_train("H", 1, remat=True, iters=10), {}),
-    "3d": (lambda: bench_train_3d(), {}),
+    "h1_remat": lambda: bench_train("H", 1, remat=True, iters=10),
+    "3d": lambda: bench_train_3d(),
     # native 512^2 training on ONE chip (the reference downscales >128^2
     # data, griddataset.py:96; multi-chip spatial sharding scales further)
-    "ti_512": (lambda: bench_train("Ti", 2, remat=True, iters=10, img=512), {}),
-    "infer_b1": (lambda: bench_inference("M", 1), {}),
-    "infer_b8": (lambda: bench_inference("M", 8), {}),
-    "infer_scan_b1": (lambda: bench_inference_scan("M", 1), {}),
-    "infer_scan_b8": (lambda: bench_inference_scan("M", 8), {}),
+    "ti_512": lambda: bench_train("Ti", 2, remat=True, iters=10, img=512),
+    "infer_b1": lambda: bench_inference("M", 1),
+    "infer_b8": lambda: bench_inference("M", 8),
+    "infer_scan_b1": lambda: bench_inference_scan("M", 1),
+    "infer_scan_b8": lambda: bench_inference_scan("M", 8),
 }
 
 
@@ -274,9 +274,7 @@ def main() -> None:
 
     entry = os.environ.get("DPOT_BENCH_ENTRY")
     if entry:
-        fn, env = LADDER[entry]
-        os.environ.update(env)
-        print(json.dumps(fn()), flush=True)
+        print(json.dumps(LADDER[entry]()), flush=True)
         return
 
     if os.environ.get("DPOT_BENCH_LADDER"):

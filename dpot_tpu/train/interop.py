@@ -83,11 +83,50 @@ def _unpatch(sd, prefix):
 
 
 def _dense_from_1x1(sd, prefix):
-    """torch 1x1 Conv2d (O, I, 1, 1) -> Dense kernel (I, O)."""
-    out = {"kernel": _np(sd[f"{prefix}.weight"])[:, :, 0, 0].T}
+    """torch 1x..x1 ConvNd (O, I, 1...) -> Dense kernel (I, O); works for
+    any number of trailing singleton spatial dims."""
+    w = _np(sd[f"{prefix}.weight"])
+    out = {"kernel": w.reshape(w.shape[0], w.shape[1]).T}
     if f"{prefix}.bias" in sd:
         out["bias"] = _np(sd[f"{prefix}.bias"])
     return out
+
+
+# the N-d and 2-d cases are the same reshape
+_dense_from_1x1_nd = _dense_from_1x1
+
+
+def _afno_trunk_blocks(sd, depth, mlp=_dense_from_1x1):
+    """blocks_{i} subtrees shared by every AFNO-trunk family (DPOT 2D/3D,
+    CDPOT): GroupNorm pair + filter w1..b2 + pointwise-conv MLP."""
+    out = {}
+    for i in range(depth):
+        b = f"blocks.{i}"
+        out[f"blocks_{i}"] = {
+            "norm1": _groupnorm(sd, f"{b}.norm1"),
+            "norm2": _groupnorm(sd, f"{b}.norm2"),
+            "filter": {
+                k: _np(sd[f"{b}.filter.{k}"]) for k in ("w1", "b1", "w2", "b2")
+            },
+            "mlp_fc1": mlp(sd, f"{b}.mlp.0"),
+            "mlp_fc2": mlp(sd, f"{b}.mlp.2"),
+        }
+    return out
+
+
+def _cls_head(sd):
+    return {
+        f"cls_head_{j}": _linear(sd, f"cls_head.{src}")
+        for j, src in enumerate([0, 2, 4])
+        if f"cls_head.{src}.weight" in sd
+    }
+
+
+def _time_agg(sd):
+    ta = {"w": _np(sd["time_agg_layer.w"])}
+    if "time_agg_layer.gamma" in sd:
+        ta["gamma"] = _np(sd["time_agg_layer.gamma"])
+    return ta
 
 
 def _groupnorm(sd, prefix):
@@ -122,54 +161,20 @@ def dpot_params_from_torch(
         pos = resize_pos_embed_nhwc(pos, *latent_size)
     p["pos_embed"] = pos
 
-    ta = {"w": _np(sd["time_agg_layer.w"])}
-    if "time_agg_layer.gamma" in sd:
-        ta["gamma"] = _np(sd["time_agg_layer.gamma"])
-    p["time_agg"] = ta
+    p["time_agg"] = _time_agg(sd)
 
     if normalize and "scale_feats_mu.weight" in sd:
         p["scale_feats_mu"] = _linear(sd, "scale_feats_mu")
         p["scale_feats_sigma"] = _linear(sd, "scale_feats_sigma")
 
-    for i in range(depth):
-        b = f"blocks.{i}"
-        p[f"blocks_{i}"] = {
-            "norm1": _groupnorm(sd, f"{b}.norm1"),
-            "norm2": _groupnorm(sd, f"{b}.norm2"),
-            "filter": {
-                "w1": _np(sd[f"{b}.filter.w1"]),
-                "b1": _np(sd[f"{b}.filter.b1"]),
-                "w2": _np(sd[f"{b}.filter.w2"]),
-                "b2": _np(sd[f"{b}.filter.b2"]),
-            },
-            # 1x1 Conv2d (O, I, 1, 1) -> Dense (I, O)
-            "mlp_fc1": {
-                "kernel": _np(sd[f"{b}.mlp.0.weight"])[:, :, 0, 0].T,
-                "bias": _np(sd[f"{b}.mlp.0.bias"]),
-            },
-            "mlp_fc2": {
-                "kernel": _np(sd[f"{b}.mlp.2.weight"])[:, :, 0, 0].T,
-                "bias": _np(sd[f"{b}.mlp.2.bias"]),
-            },
-        }
-
-    for j, src in enumerate([0, 2, 4]):
-        p[f"cls_head_{j}"] = _linear(sd, f"cls_head.{src}")
+    p.update(_afno_trunk_blocks(sd, depth))
+    p.update(_cls_head(sd))
 
     p["out_deconv"] = _unpatch(sd, "out_layer.0")
     p["out_conv1"] = _dense_from_1x1(sd, "out_layer.2")
     p["out_conv2"] = _dense_from_1x1(sd, "out_layer.4")
 
     return {"params": p}
-
-
-def _dense_from_1x1_nd(sd, prefix):
-    """torch 1x..x1 ConvNd (O, I, 1...) -> Dense kernel (I, O)."""
-    w = _np(sd[f"{prefix}.weight"])
-    out = {"kernel": w.reshape(w.shape[0], w.shape[1]).T}
-    if f"{prefix}.bias" in sd:
-        out["bias"] = _np(sd[f"{prefix}.bias"])
-    return out
 
 
 def _unpatch3d(sd, prefix):
@@ -200,32 +205,14 @@ def dpot3d_params_from_torch(
     pos = _np(sd["pos_embed"])  # (1, D, h, w, l)
     p["pos_embed"] = np.transpose(pos, (0, 2, 3, 4, 1))
 
-    ta = {"w": _np(sd["time_agg_layer.w"])}
-    if "time_agg_layer.gamma" in sd:
-        ta["gamma"] = _np(sd["time_agg_layer.gamma"])
-    p["time_agg"] = ta
+    p["time_agg"] = _time_agg(sd)
 
     if normalize and "scale_feats_mu.weight" in sd:
         p["scale_feats_mu"] = _linear(sd, "scale_feats_mu")
         p["scale_feats_sigma"] = _linear(sd, "scale_feats_sigma")
 
-    for i in range(depth):
-        b = f"blocks.{i}"
-        p[f"blocks_{i}"] = {
-            "norm1": _groupnorm(sd, f"{b}.norm1"),
-            "norm2": _groupnorm(sd, f"{b}.norm2"),
-            "filter": {
-                "w1": _np(sd[f"{b}.filter.w1"]),
-                "b1": _np(sd[f"{b}.filter.b1"]),
-                "w2": _np(sd[f"{b}.filter.w2"]),
-                "b2": _np(sd[f"{b}.filter.b2"]),
-            },
-            "mlp_fc1": _dense_from_1x1_nd(sd, f"{b}.mlp.0"),
-            "mlp_fc2": _dense_from_1x1_nd(sd, f"{b}.mlp.2"),
-        }
-
-    for j, src in enumerate([0, 2, 4]):
-        p[f"cls_head_{j}"] = _linear(sd, f"cls_head.{src}")
+    p.update(_afno_trunk_blocks(sd, depth))
+    p.update(_cls_head(sd))
 
     p["out_deconv"] = _unpatch3d(sd, "out_layer.0")
     p["out_conv1"] = _dense_from_1x1_nd(sd, "out_layer.2")
@@ -255,32 +242,14 @@ def cdpot_params_from_torch(
     pos = _np(sd["pos_embed"])  # (1, D, h, w)
     p["pos_embed"] = np.transpose(pos, (0, 2, 3, 1))
 
-    ta = {"w": _np(sd["time_agg_layer.w"])}
-    if "time_agg_layer.gamma" in sd:
-        ta["gamma"] = _np(sd["time_agg_layer.gamma"])
-    p["time_agg"] = ta
+    p["time_agg"] = _time_agg(sd)
 
     if normalize and "scale_feats_mu.weight" in sd:
         p["scale_feats_mu"] = _linear(sd, "scale_feats_mu")
         p["scale_feats_sigma"] = _linear(sd, "scale_feats_sigma")
 
-    for i in range(depth):
-        b = f"blocks.{i}"
-        p[f"blocks_{i}"] = {
-            "norm1": _groupnorm(sd, f"{b}.norm1"),
-            "norm2": _groupnorm(sd, f"{b}.norm2"),
-            "filter": {
-                "w1": _np(sd[f"{b}.filter.w1"]),
-                "b1": _np(sd[f"{b}.filter.b1"]),
-                "w2": _np(sd[f"{b}.filter.w2"]),
-                "b2": _np(sd[f"{b}.filter.b2"]),
-            },
-            "mlp_fc1": _dense_from_1x1(sd, f"{b}.mlp.0"),
-            "mlp_fc2": _dense_from_1x1(sd, f"{b}.mlp.2"),
-        }
-
-    for j, src in enumerate([0, 2, 4]):
-        p[f"cls_head_{j}"] = _linear(sd, f"cls_head.{src}")
+    p.update(_afno_trunk_blocks(sd, depth))
+    p.update(_cls_head(sd))
 
     p["out_cno"] = {
         "convolution": _conv(sd, "out_layer.0.convolution"),
@@ -320,9 +289,7 @@ def fno2d_params_from_torch(
         p[f"w_{i}"] = _dense_from_1x1(sd, f"convs.{i}")
         if use_ln and f"ln_layers.{i}.weight" in sd:
             p[f"ln_{i}"] = _groupnorm(sd, f"ln_layers.{i}")
-    for j, src in enumerate([0, 2, 4]):
-        if f"cls_head.{src}.weight" in sd:
-            p[f"cls_head_{j}"] = _linear(sd, f"cls_head.{src}")
+    p.update(_cls_head(sd))
     return {"params": p}
 
 

@@ -123,20 +123,21 @@ def make_train_step(
             new_params = {**new_state.params, "batch_stats": aux.pop("batch_stats")}
             new_state = new_state.replace(params=new_params)
         # the fused optimizers compute the pre-clip global norm in-pass
-        # (AdamState.grad_norm); recompute only for foreign optimizers
-        opt_entries = (
-            new_state.opt_state
-            if isinstance(new_state.opt_state, tuple)
-            else (new_state.opt_state,)
-        )
-        gnorm = next(
-            (
-                e.grad_norm
-                for e in opt_entries
-                if hasattr(e, "grad_norm") and e.grad_norm is not None
-            ),
-            None,
-        )
+        # (AdamState.grad_norm); recompute only for foreign optimizers.
+        # Search recursively: the state may be wrapped (chained transforms
+        # are tuples; optax.masked nests it in MaskedState.inner_state)
+        def find_grad_norm(entry):
+            g = getattr(entry, "grad_norm", None)
+            if g is not None:
+                return g
+            if isinstance(entry, tuple):  # incl. NamedTuple wrappers
+                for sub in entry:
+                    g = find_grad_norm(sub)
+                    if g is not None:
+                        return g
+            return None
+
+        gnorm = find_grad_norm(new_state.opt_state)
         if gnorm is None:
             gnorm = jnp.sqrt(
                 sum(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 import time
 from typing import Optional
 
@@ -39,7 +40,7 @@ def maybe_enable_compilation_cache() -> None:
     persistent cache makes repeat CLI invocations (train/evaluate/bench on
     unchanged configs) start near-instantly. Env-gated because the cache
     dir must be writable and per-machine."""
-    cache_dir = __import__("os").environ.get("DPOT_COMPILE_CACHE")
+    cache_dir = os.environ.get("DPOT_COMPILE_CACHE")
     if not cache_dir:
         return
     try:
