@@ -147,3 +147,24 @@ def test_train_step_threads_batch_stats():
         lambda a, b: float(np.max(np.abs(a - b))), stats1, stats2
     )
     assert max(jax.tree.leaves(diffs2)) > 1e-6
+
+
+def test_reference_unet3d_forward_is_broken():
+    """Pin a REFERENCE limitation: the dimension-generic UNet's forward
+    hardcodes 2D einops patterns ('b x y t c', models/unet.py:476,529), so
+    its n_dim=3 path cannot consume the (B,X,Y,Z,T,C) temporal contract at
+    all — parity testing is impossible, and this framework's working 3D
+    UNet (tests/test_models_families.py::test_unet_forward_3d) is an
+    improvement, not a deviation."""
+    import einops
+    import torch
+
+    ref = load_reference_unet()
+    torch.manual_seed(0)
+    m = ref.UNet(
+        n_dim=3, in_channels=2, in_timesteps=2, out_channels=2,
+        out_timesteps=1, width=4, in_shape=[16, 16, 16], act="gelu", n_cls=3,
+    )
+    with pytest.raises(einops.EinopsError):
+        with torch.no_grad():
+            m(torch.randn(1, 16, 16, 16, 2, 2))
