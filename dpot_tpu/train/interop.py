@@ -324,6 +324,19 @@ def fno3d_params_from_torch(
     return {"params": p}
 
 
+def mlp_params_from_torch(sd: Mapping[str, Any], n_layers: int) -> dict:
+    """Reference residual MLP state dict (models/mlp.py:14-45) ->
+    dpot_tpu MLP params['params']."""
+    sd = strip_module_prefix(sd)
+    p: dict[str, Any] = {
+        "linear_pre": _linear(sd, "linear_pre"),
+        "linear_post": _linear(sd, "linear_post"),
+    }
+    for i in range(n_layers):
+        p[f"linears_{i}"] = _linear(sd, f"linears.{i}")
+    return {"params": p}
+
+
 def unet_params_from_torch(sd: Mapping[str, Any]) -> dict:
     """Reference UNet state dict (models/unet.py:372-564) -> dpot_tpu UNet
     variables {'params', 'batch_stats'}.

@@ -97,3 +97,37 @@ def test_quantile_transformer_roundtrip():
     assert 0.0 <= z.min() and z.max() <= 1.0
     back = qt.transform(z, inverse=True)
     np.testing.assert_allclose(back, X, atol=0.2, rtol=0.2)
+
+
+def test_mlp_forward_parity_vs_reference():
+    """Residual MLP forward parity vs the actual reference model
+    (models/mlp.py:14-45) through mlp_params_from_torch."""
+    import importlib.util
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir("/root/reference"):
+        _pytest.skip("reference mount unavailable")
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mlp_par", "/root/reference/models/mlp.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(0)
+    tmodel = mod.MLP(n_input=4, n_hidden=32, n_output=3, n_layers=2).eval()
+    x = np.random.default_rng(0).standard_normal((16, 4)).astype(np.float32)
+    with torch.no_grad():
+        ty = tmodel(torch.from_numpy(x))
+
+    from dpot_tpu.models.mlp import MLP
+    from dpot_tpu.train.interop import mlp_params_from_torch
+
+    jmodel = MLP(n_hidden=32, n_output=3, n_layers=2)
+    params = jax.tree.map(
+        jnp.asarray, mlp_params_from_torch(tmodel.state_dict(), n_layers=2)
+    )
+    jy = jmodel.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(jy), ty.numpy(), atol=1e-5, rtol=1e-4)
