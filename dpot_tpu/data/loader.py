@@ -55,9 +55,9 @@ class DataLoader:
             # indivisible global batch size that would be EVERY batch —
             # fail loudly instead of silently training zero steps
             raise ValueError(
-                f"global batch_size {batch_size} must divide num_shards "
-                f"{self.num_shards} (every host loads batch_size/num_shards "
-                "items)"
+                f"num_shards {self.num_shards} must divide the global "
+                f"batch_size {batch_size} (every host loads "
+                "batch_size/num_shards items)"
             )
 
     def __len__(self) -> int:

@@ -70,6 +70,7 @@ class AFNO2D(nn.Module):
     dtype: Dtype = jnp.float32
     spatial_mesh: Any = None
     spatial_axis: str = "spatial"
+    pre_norm_groups: int = 8  # GroupNorm groups on the fused pre_norm path
 
     @nn.compact
     def __call__(self, x, pre_norm=None):  # (B, H, W, C)
@@ -112,6 +113,7 @@ class AFNO2D(nn.Module):
                     jnp.float32
                 ),
                 K,
+                self.pre_norm_groups,
             )
             return out.reshape(B, H, W, C)
         mesh = self.spatial_mesh
@@ -154,11 +156,13 @@ class Block(nn.Module):
     act: str = "gelu"
     dtype: Dtype = jnp.float32
     spatial_mesh: Any = None
+    norm_groups: int = 8  # GroupNorm groups for norm1/norm2 (ref GroupNorm(8))
 
     def _use_fused_afno(self, x) -> bool:
         """Select the fused GroupNorm+AFNO Pallas kernel: bf16 compute,
-        gelu, no spatial sharding, kernel-qualifying shapes, and
-        DPOT_AFNO_IMPL=fused (opt-in; see bench.py comparison)."""
+        gelu, no spatial sharding, kernel-qualifying shapes (incl. the
+        actual norm1 group count), and DPOT_AFNO_IMPL=fused (opt-in; see
+        bench.py comparison)."""
         import os
 
         if os.environ.get("DPOT_AFNO_IMPL", "xla") != "fused":
@@ -172,7 +176,9 @@ class Block(nn.Module):
         from dpot_tpu.ops.pallas.afno_fused import fused_gn_afno_supported
 
         B, H, W, C = x.shape
-        return fused_gn_afno_supported(H * W, C, self.num_blocks, B)
+        return fused_gn_afno_supported(
+            H * W, C, self.num_blocks, B, groups=self.norm_groups
+        )
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
@@ -183,21 +189,23 @@ class Block(nn.Module):
         filt = AFNO2D(
             width=self.width, num_blocks=self.num_blocks, modes=self.modes,
             act=self.act, dtype=self.dtype, spatial_mesh=self.spatial_mesh,
-            name="filter",
+            pre_norm_groups=self.norm_groups, name="filter",
         )
         if self._use_fused_afno(x):
             # one VMEM-resident kernel for norm1 + the whole spectral
             # mixer (ops/pallas/afno_fused.py); params identical to the
             # composed path
-            gn_params = GroupNorm(name="norm1")(x, only_params=True)
+            gn_params = GroupNorm(
+                num_groups=self.norm_groups, name="norm1"
+            )(x, only_params=True)
             x = filt(x, pre_norm=gn_params)
         else:
-            x = GroupNorm(name="norm1")(x)
+            x = GroupNorm(num_groups=self.norm_groups, name="norm1")(x)
             x = filt(x)
         if self.double_skip:
             x = x + residual
             residual = x
-        x = GroupNorm(name="norm2")(x)
+        x = GroupNorm(num_groups=self.norm_groups, name="norm2")(x)
         # 1x1 convs on channels-last == Dense over the channel axis
         x = nn.Dense(
             hidden, kernel_init=torch_linear_weight(), bias_init=torch_bias(self.width),

@@ -76,11 +76,13 @@ def _kernel(x_ref, gs_ref, gb_ref, A_ref, Ai_ref, W1_ref, B1_ref, W2_ref,
 
 
 def fused_gn_afno_supported(
-    HW: int, C: int, nb: int, batch: int, hidden_size_factor: int = 1
+    HW: int, C: int, nb: int, batch: int, hidden_size_factor: int = 1,
+    groups: int = 8,
 ) -> bool:
     """Shapes the kernel handles efficiently: combined-operator latents,
-    MXU-aligned block channels, an even batch for the 2-sample tile, and
-    a square mode MLP (the kernel's blocks assume hidden == 2*bs)."""
+    MXU-aligned block channels, an even batch for the 2-sample tile, a
+    square mode MLP (the kernel's blocks assume hidden == 2*bs), and a
+    group count that tiles the channel axis."""
     bs = C // nb
     return (
         HW <= 4096
@@ -88,6 +90,8 @@ def fused_gn_afno_supported(
         and (2 * bs) % 128 == 0
         and batch % 2 == 0
         and hidden_size_factor == 1
+        and groups > 0
+        and C % groups == 0
     )
 
 
@@ -133,7 +137,7 @@ def _fused_fwd(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, *, K, nb, groups):
     )(x, gscale, gbias, A, Ainv, W1, B1, W2, B2)
 
 
-def _xla_reference(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K):
+def _xla_reference(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K, groups=8):
     """The composed XLA computation the kernel replaces (bf16 semantics);
     also the recompute path for the backward pass."""
     from dpot_tpu.ops.norms import group_norm
@@ -143,7 +147,7 @@ def _xla_reference(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K):
     bs = C // nb
     cd = A.dtype  # compute dtype follows the pre-cast operator matrices
     xn32 = group_norm(
-        x.astype(jnp.float32), gscale[0], gbias[0], num_groups=8
+        x.astype(jnp.float32), gscale[0], gbias[0], num_groups=groups
     )
     xn = xn32.astype(cd)
     z = jnp.einsum(
@@ -179,27 +183,28 @@ def _xla_reference(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K):
     return (y + xn32).astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9,))
-def fused_gn_afno(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K):
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_gn_afno(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K, groups=8):
     """x: (B, HW, C) bf16. gscale/gbias: (1, C) f32. A: (2K, HW) bf16,
     Ainv: (HW, 2K) bf16. W1/W2: (nb, 2bs, 2bs_f) bf16 real-form,
-    B1/B2: (nb, 1, 2bs_f) f32. Returns GroupNorm+AFNO(x) incl. the
-    AFNO-internal residual."""
+    B1/B2: (nb, 1, 2bs_f) f32. groups: GroupNorm group count (follows the
+    model's norm1 config; Block threads it). Returns GroupNorm+AFNO(x)
+    incl. the AFNO-internal residual."""
     nb = W1.shape[0]
     return _fused_fwd(
-        x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K=K, nb=nb, groups=8
+        x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K=K, nb=nb, groups=groups
     )
 
 
-def _fwd(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K):
-    out = fused_gn_afno(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K)
+def _fwd(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K, groups=8):
+    out = fused_gn_afno(x, gscale, gbias, A, Ainv, W1, B1, W2, B2, K, groups)
     return out, (x, gscale, gbias, A, Ainv, W1, B1, W2, B2)
 
 
-def _bwd(K, res, g):
+def _bwd(K, groups, res, g):
     x, gscale, gbias, A, Ainv, W1, B1, W2, B2 = res
     _, vjp = jax.vjp(
-        lambda *a: _xla_reference(*a, K=K),
+        lambda *a: _xla_reference(*a, K=K, groups=groups),
         x, gscale, gbias, A, Ainv, W1, B1, W2, B2,
     )
     return vjp(g)

@@ -108,14 +108,20 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         ckpt = ocp.StandardCheckpointer()
         try:
             payload = ckpt.restore(os.path.join(path, "state"), template)
-        except Exception:
+        except Exception as orig:
             # rng layout mismatch (checkpoint from a platform with the
-            # other PRNG impl): retry with the alternative key-data shape
+            # other PRNG impl): retry with the alternative key-data shape.
+            # If the retry ALSO fails, the problem was never the rng layout
+            # (corrupt/mismatched params) — surface the original error, not
+            # the retry's secondary one.
             alt = 4 if np.shape(template["rng"])[-1] == 2 else 2
             template["rng"] = np.zeros(
                 np.shape(template["rng"])[:-1] + (alt,), np.uint32
             )
-            payload = ckpt.restore(os.path.join(path, "state"), template)
+            try:
+                payload = ckpt.restore(os.path.join(path, "state"), template)
+            except Exception:
+                raise orig
     else:
         flat, _ = _npz_flat_leaves(os.path.join(path, "state.npz"))
         treedef = jax.tree.structure(template)
