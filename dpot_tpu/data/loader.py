@@ -60,6 +60,12 @@ class DataLoader:
                 "batch_size/num_shards items)"
             )
 
+    def set_epoch(self, epoch: int):
+        """Position the shuffle-order/per-item-rng stream (checkpoint
+        resume): the next __iter__ replays exactly the permutation an
+        uninterrupted run would have used at `epoch`."""
+        self._epoch = int(epoch)
+
     def __len__(self) -> int:
         n = len(self.dataset)
         full = n // self.batch_size

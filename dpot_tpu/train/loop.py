@@ -120,15 +120,32 @@ def train(
     writer = MetricWriter(log_dir)
     ckpt_dir = os.path.join(log_dir, "model") if log_dir else None
 
+    start_epoch = 0
+    steps_per_epoch = max(len(train_dl), 1)
     if init_params is not None:
         state = state.replace(params=init_params)
         writer.text("starting from caller-provided params")
     elif cfg.resume_path:
+        # FULL resume: params + opt state (moments) + step (OneCycle/other
+        # schedule position) + PRNG (noise stream). The loop then continues
+        # at the epoch the checkpoint was taken, with the data loader
+        # positioned on that epoch's permutation — a preempted run's
+        # trajectory continues step-for-step (tests/test_checkpoint_loop.py
+        # ::test_kill_and_resume_trajectory).
+        state = restore_checkpoint(cfg.resume_path, state)
+        done = int(np.asarray(jax.device_get(state.step)))
+        start_epoch = min(done // steps_per_epoch, cfg.epochs)
+        train_dl.set_epoch(start_epoch)
+        writer.text(
+            f"resumed full train state from {cfg.resume_path}: step {done}, "
+            f"continuing at epoch {start_epoch}"
+        )
+    elif cfg.init_from:
         from dpot_tpu.train.checkpoint import restore_params
 
-        src = restore_params(cfg.resume_path, state.params)
+        src = restore_params(cfg.init_from, state.params)
         state = state.replace(params=src)
-        writer.text(f"resumed params from {cfg.resume_path}")
+        writer.text(f"warm-started params from {cfg.init_from}")
 
     state = replicate(state, mesh)
     step_fn = make_train_step(t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale)
@@ -147,12 +164,12 @@ def train(
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     writer.text(f"model {cfg.model} params {n_params/1e6:.2f}M devices {mesh.devices.size}")
 
-    it = 0
+    it = start_epoch * steps_per_epoch  # global step (== state.step on resume)
     loss_ema = None  # running mean of per-batch losses (failure detector)
     last_good = jax.device_get(state.params), jax.device_get(state.opt_state)
     history = {}
 
-    for ep in range(cfg.epochs):
+    for ep in range(start_epoch, cfg.epochs):
         t1 = t_1 = time.perf_counter()
         t_load = t_train = 0.0
         train_l2_step = train_l2_full = 0.0

@@ -80,7 +80,15 @@ class TrainConfig:
     comment: str = ""
     log_path: str = ""
     use_writer: bool = False
+    # resume_path: FULL-state resume for train() — params + opt state +
+    # step/schedule position + PRNG stream restore from an orbax dir, and
+    # the loop continues at the right epoch (the reference's resume loses
+    # scheduler state, train_temporal.py:125-128). For eval/finetune/serve
+    # CLIs this stays the params source (they load params-only themselves).
     resume_path: str = ""
+    # init_from: params-only warm start for train() (orbax checkpoint dir);
+    # opt/schedule/PRNG start fresh. Use cli.convert first for .pth files.
+    init_from: str = ""
     load_components: List[str] = dataclasses.field(
         default_factory=lambda: ["blocks", "pos", "time_agg"]
     )

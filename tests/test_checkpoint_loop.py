@@ -100,6 +100,84 @@ def test_train_loop_end_to_end(tmp_path):
     assert (tmp_path / "run" / "model").exists()
 
 
+def test_kill_and_resume_trajectory(tmp_path):
+    """Full-state resume (VERDICT r2 #2): train 4 epochs uninterrupted vs
+    train 2 epochs -> checkpoint -> resume for 2 more. The resumed loss
+    trajectory must match the uninterrupted run step-for-step, which
+    requires ALL of: params, Adam moments, schedule position (step), the
+    noise PRNG stream, and the data loader's epoch permutation to be
+    restored — params-only restore fails every one of those."""
+    import json
+
+    from dpot_tpu.data.registry import make_synthetic_spec
+
+    make_synthetic_spec(
+        "resume_traj", train_size=16, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+    # The resume config must equal the original (the OneCycle schedule is
+    # built from cfg.epochs — resuming a 4-epoch run with epochs=2 is a
+    # DIFFERENT schedule). ckpt_bucket_epochs=2 keeps the mid-run
+    # checkpoint (model_0, state after epoch 1) around, simulating a kill
+    # at the 2-epoch mark of the same 4-epoch job.
+    base = dict(
+        model="DPOT", train_paths=["resume_traj"], res=16, patch_size=4,
+        width=32, n_layers=1, n_blocks=4, modes=4, T_in=6, batch_size=8,
+        num_workers=2, lr=1e-3, opt="adam", lr_method="cycle",
+        noise_scale=0.05, rollback_factor=0.0, use_writer=True, seed=3,
+        epochs=4, ckpt_bucket_epochs=2,
+    )
+
+    def step_losses(d):
+        out = []
+        with open(d / "metrics.jsonl") as f:
+            for line in f:
+                r = json.loads(line)
+                if r["tag"] == "train_loss_step":
+                    out.append(r["value"])
+        return out
+
+    train(TrainConfig(**base), log_dir=str(tmp_path / "full"))
+    full = step_losses(tmp_path / "full")
+
+    train(
+        TrainConfig(
+            resume_path=str(tmp_path / "full" / "model_0"), **base
+        ),
+        log_dir=str(tmp_path / "resumed"),
+    )
+    resumed = step_losses(tmp_path / "resumed")
+
+    assert len(full) == 8 and len(resumed) == 4  # 2 steps/epoch
+    np.testing.assert_allclose(resumed, full[4:], rtol=0, atol=1e-6)
+
+
+def test_init_from_params_only(tmp_path):
+    """--init_from warm-starts params but NOT the optimizer/step/PRNG."""
+    from dpot_tpu.data.registry import make_synthetic_spec
+
+    make_synthetic_spec(
+        "warmstart", train_size=16, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+    base = dict(
+        model="DPOT", train_paths=["warmstart"], res=16, patch_size=4,
+        width=32, n_layers=1, n_blocks=4, modes=4, T_in=6, batch_size=8,
+        num_workers=2, lr=1e-3, opt="adam", use_writer=True,
+    )
+    out1 = train(TrainConfig(epochs=2, **base), log_dir=str(tmp_path / "a"))
+    src = str(tmp_path / "a" / "model")
+    out2 = train(
+        TrainConfig(epochs=1, init_from=src, **base),
+        log_dir=str(tmp_path / "b"),
+    )
+    # warm start: epoch-0 loss of run 2 is already below run 1's epoch-0
+    # (params came from 2 trained epochs), and the step counter restarted
+    assert out2["epoch"] == 0
+    assert int(jax.device_get(out2["state"].step)) == 2  # 1 epoch * 2 steps
+    assert np.isfinite(out2["train_l2_step"])
+
+
 def test_sweep_expansion():
     y = {
         "base": 1,
