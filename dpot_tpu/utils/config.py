@@ -65,6 +65,12 @@ class TrainConfig:
     # dead code; this is a working, statistically safer replacement.
     rollback_factor: float = 10.0
     rollback_warmup_steps: int = 20
+    # snapshot cadence for the rollback state: 0 = once per epoch (end of
+    # epoch), N>0 = every N steps (a mid-epoch explosion then replays at
+    # most N steps), -1 = never snapshot (disables rollback). Snapshots are
+    # device-side copies (no host traffic) but DOUBLE the params+opt HBM
+    # residency while held — set -1 (or rollback_factor 0) at H scale.
+    rollback_snapshot_steps: int = 0
 
     # runtime
     seed: int = 0

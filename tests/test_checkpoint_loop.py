@@ -178,6 +178,68 @@ def test_init_from_params_only(tmp_path):
     assert np.isfinite(out2["train_l2_step"])
 
 
+def test_midepoch_explosion_rollback(tmp_path, monkeypatch):
+    """Step-interval rollback snapshots (VERDICT r2 weak #5): a mid-epoch
+    loss explosion restores a state at most rollback_snapshot_steps old —
+    not the epoch start. Batch 5's loss is forged to 1e9; with snapshots
+    every 2 steps the restore target is the it=4 snapshot, so the it=6
+    snapshot (taken right after the restore) must equal it exactly."""
+    import dpot_tpu.train.loop as loop_mod
+    from dpot_tpu.data.registry import make_synthetic_spec
+
+    make_synthetic_spec(
+        "boom", train_size=48, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+
+    calls = {"n": 0}
+    real_fetch = loop_mod._fetch
+
+    def fake_fetch(x):
+        calls["n"] += 1
+        # fetch order during the train phase: 2 per drained batch
+        # (loss_step, loss_full); batch 5's loss_step is call #9
+        if calls["n"] == 9:
+            return 1e9
+        return real_fetch(x)
+
+    snaps = []
+    real_snap = loop_mod._device_snapshot
+
+    def spy_snap(params, opt_state):
+        out = real_snap(params, opt_state)
+        snaps.append(jax.device_get(out[0]))
+        return out
+
+    monkeypatch.setattr(loop_mod, "_fetch", fake_fetch)
+    monkeypatch.setattr(loop_mod, "_device_snapshot", spy_snap)
+
+    cfg = TrainConfig(
+        model="DPOT", train_paths=["boom"], res=16, patch_size=4, width=32,
+        n_layers=1, n_blocks=4, modes=4, T_in=6, batch_size=8, epochs=1,
+        num_workers=2, lr=1e-3, opt="adam", use_writer=True,
+        rollback_factor=2.0, rollback_warmup_steps=1,
+        rollback_snapshot_steps=2,
+    )
+    out = train(cfg, log_dir=str(tmp_path / "run"))
+
+    logs = (tmp_path / "run" / "logs.txt").read_text()
+    assert "restoring previous good state" in logs
+    # snapshots: initial + it=2,4,6 (6 batches of 8 over 48 samples)
+    assert len(snaps) == 4
+    flat = [jax.tree.leaves(s) for s in snaps]
+    # training moved params between the it=2 and it=4 snapshots...
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(flat[1], flat[2])
+    )
+    # ...but the it=6 snapshot (taken right after the rollback restore)
+    # is bit-identical to the it=4 one: the restore reverted exactly to
+    # the <=2-step-old snapshot, not to the epoch start
+    for a, b in zip(flat[2], flat[3]):
+        np.testing.assert_array_equal(a, b)
+    assert np.isfinite(out["train_l2_step"])
+
+
 def test_sweep_expansion():
     y = {
         "base": 1,
