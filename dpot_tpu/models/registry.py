@@ -62,7 +62,11 @@ def build_model(
     # FNO-family-only knob: pop so **kwargs model families never see it
     use_ln = bool(kwargs.pop("use_ln", use_ln))
 
-    if model in ("DPOT", "dpot"):
+    # 'AFNO' is the legacy name for the AFNO-mixer transformer in the
+    # reference's older configs (ns2d_pretrain.yaml, afno_config_single.yaml
+    # say `model: AFNO`); its own dispatch (train_temporal.py:115-124) no
+    # longer accepts it — here it resolves to DPOTNet so those recipes run.
+    if model in ("DPOT", "dpot", "AFNO", "afno"):
         from dpot_tpu.models.dpot import DPOTNet
 
         return DPOTNet(remat=remat, **kwargs)

@@ -206,7 +206,11 @@ def load_components(
 ) -> Any:
     """Copy selected top-level components from source into target
     (shape-matching leaves only), mirroring load_components_from_pretrained
-    (utilities.py:112-166; default component list finetune.py:103)."""
+    (utilities.py:112-166; default component list finetune.py:103).
+    'all' (alone or in the list) selects every component, as the reference
+    does (utilities.py:126) — the dpot_finetune recipe relies on it."""
+    if components == "all" or "all" in components:
+        components = tuple(COMPONENT_PREFIXES)
     prefixes: tuple[str, ...] = ()
     for c in components:
         prefixes += COMPONENT_PREFIXES[c]
