@@ -14,24 +14,29 @@ import sys
 
 
 def load_params_any(resume_path: str, model, cfg, sample_shape):
-    """Checkpoint path -> params, handling both native and torch formats."""
+    """Checkpoint path -> params, handling both native and torch formats.
+    sample_shape's rank picks the 2D vs 3D torch converter."""
     import jax
     import jax.numpy as jnp
 
     if resume_path.endswith((".pth", ".pt")):
         from dpot_tpu.train.interop import (
+            dpot3d_params_from_torch,
             dpot_params_from_torch,
             load_torch_checkpoint,
         )
 
         sd = load_torch_checkpoint(resume_path)
-        return jax.tree.map(
-            jnp.asarray,
-            dpot_params_from_torch(
+        if len(sample_shape) == 6:  # (1, X, Y, Z, T, C)
+            converted = dpot3d_params_from_torch(
+                sd, depth=cfg.n_layers, normalize=cfg.normalize
+            )
+        else:
+            converted = dpot_params_from_torch(
                 sd, depth=cfg.n_layers, normalize=cfg.normalize,
                 latent_size=(cfg.res // cfg.patch_size, cfg.res // cfg.patch_size),
-            ),
-        )
+            )
+        return jax.tree.map(jnp.asarray, converted)
     from dpot_tpu.train.checkpoint import restore_params
 
     params0 = model.init(jax.random.key(0), jnp.zeros(sample_shape))
@@ -57,10 +62,16 @@ def main(argv=None):
     cfg = load_config(argv)
 
     n_channels = max(get_spec(p).n_channels for p in cfg.test_paths)
+    ndim = get_spec(cfg.test_paths[0]).ndim
     import jax.numpy as jnp
 
+    model_name = cfg.model
+    if ndim == 3 and model_name in ("DPOT", "dpot", "AFNO", "afno"):
+        model_name = "DPOT3D"  # 3D datasets need the 3D family
+    # pred-only families return just the field (no cls head)
+    pred_only = model_name in ("DPOT3D", "dpot3d", "FNO3D", "fno3d")
     model = build_model(
-        cfg.model, img_size=cfg.res, patch_size=cfg.patch_size,
+        model_name, img_size=cfg.res, patch_size=cfg.patch_size,
         in_channels=n_channels, in_timesteps=cfg.T_in,
         out_timesteps=cfg.T_bundle, embed_dim=cfg.width, modes=cfg.modes,
         depth=cfg.n_layers, n_blocks=cfg.n_blocks, mlp_ratio=cfg.mlp_ratio,
@@ -68,7 +79,7 @@ def main(argv=None):
         n_cls=len(cfg.train_paths), normalize=cfg.normalize,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )
-    sample_shape = (1, cfg.res, cfg.res, cfg.T_in, n_channels)
+    sample_shape = (1,) + (cfg.res,) * ndim + (cfg.T_in, n_channels)
     params = load_params_any(cfg.resume_path, model, cfg, sample_shape)
 
     if varyres:
@@ -85,7 +96,7 @@ def main(argv=None):
             model, params, cfg.test_paths, res=cfg.res, t_in=cfg.T_in,
             t_bundle=cfg.T_bundle, batch_size=cfg.batch_size,
             n_channels=n_channels, num_workers=cfg.num_workers,
-            full_metrics=full_metrics,
+            full_metrics=full_metrics, pred_only=pred_only,
         )
         for p in cfg.test_paths:
             print(f"{p}: {results[p]['loss_full']:.5f}")

@@ -40,26 +40,47 @@ def evaluate(
     n_channels: int | None = None,
     num_workers: int = 8,
     full_metrics: bool = False,
+    pred_only: bool = False,
 ) -> dict:
     """Full-rollout eval; returns per-dataset losses + avg step time.
 
     full_metrics=True additionally computes the reference's Evaluator
     battery (nMAE/nMSE/nMXE + boundary RMSE + spectral-band MSE,
-    utils/criterion.py:189-360) over the rollout predictions."""
+    utils/criterion.py:189-360) over the rollout predictions, with the
+    boundary/spectral metrics dispatched by input rank — 1D/2D/3D
+    datasets all get their battery (reference compute_fourier_error
+    branches, utils/criterion.py:284-344). 3D dataset names resolve to
+    TemporalDataset3D automatically.
+
+    pred_only: the model's apply returns just the prediction (DPOT3D,
+    FNO3D) rather than the (pred, cls_logits) pair."""
+    from dpot_tpu.data import TemporalDataset3D
+    from dpot_tpu.data.registry import get_spec
+    from dpot_tpu.train.step import wrap_pred_only
     from dpot_tpu.utils.criterion import (
+        boundary_rmse_1d,
         boundary_rmse_2d,
+        boundary_rmse_3d,
         evaluator_metrics,
         spectral_band_mse_2d,
+        spectral_band_mse_3d,
     )
 
+    apply_fn = wrap_pred_only(model.apply) if pred_only else model.apply
     roll = make_eval_rollout(t_bundle=t_bundle)
     results = {}
     total_time, total_steps = 0.0, 0
     for path in test_paths:
-        ds = MixedTemporalDataset(
-            [path], res=res, t_in=t_in, t_ar=-1, n_channels=n_channels,
-            train=False,
-        )
+        if get_spec(path).ndim == 3:
+            ds = TemporalDataset3D(
+                path, res=res, t_in=t_in, t_ar=-1, n_channels=n_channels,
+                train=False,
+            )
+        else:
+            ds = MixedTemporalDataset(
+                [path], res=res, t_in=t_in, t_ar=-1, n_channels=n_channels,
+                train=False,
+            )
         dl = DataLoader(ds, batch_size, shuffle=False, num_workers=num_workers)
         s_sum = f_sum = 0.0
         n_steps_per_traj = 1.0
@@ -70,7 +91,7 @@ def evaluate(
                 "x": jnp.asarray(x), "y": jnp.asarray(y), "msk": jnp.asarray(msk)
             }
             t0 = time.perf_counter()
-            out = roll(model.apply, params, batch)
+            out = roll(apply_fn, params, batch)
             f_val = _fetch(out["loss_full"])  # fences the device
             total_time += time.perf_counter() - t0
             n_steps_per_traj = max(y.shape[-2] / t_bundle, 1)
@@ -99,14 +120,29 @@ def evaluate(
                     return jnp.mean(v)
 
                 m = evaluator_metrics(pred, tgt, temporal=False)
-                bd = boundary_rmse_2d(pred, tgt)
-                lo, mid, hi = spectral_band_mse_2d(pred, tgt)
-                for k, v in {
+                # rank-dispatch the boundary/spectral battery:
+                # (B,X,T,C)=1D, (B,X,Y,T,C)=2D, (B,X,Y,Z,T,C)=3D
+                if pred.ndim == 6:
+                    bd = boundary_rmse_3d(pred, tgt)
+                    bands = spectral_band_mse_3d(pred, tgt)
+                elif pred.ndim == 5:
+                    bd = boundary_rmse_2d(pred, tgt)
+                    bands = spectral_band_mse_2d(pred, tgt)
+                else:
+                    bd = boundary_rmse_1d(pred, tgt)
+                    bands = None  # no spectral battery for 1D (reference
+                    # compute_fourier_error only bins 2D/3D grids)
+                vals = {
                     "nmae": vmean(m["nmae"]), "nmse": vmean(m["nmse"]),
                     "nmxe": vmean(m["nmxe"]), "bdmse": vmean(bd),
-                    "fmse_low": vmean(lo), "fmse_mid": vmean(mid),
-                    "fmse_high": vmean(hi),
-                }.items():
+                }
+                if bands is not None:
+                    lo, mid, hi = bands
+                    vals.update(
+                        fmse_low=vmean(lo), fmse_mid=vmean(mid),
+                        fmse_high=vmean(hi),
+                    )
+                for k, v in vals.items():
                     extra[k] = extra.get(k, 0.0) + _fetch(v)
         results[path] = {
             "loss_step": s_sum / len(ds) / n_steps_per_traj,

@@ -137,3 +137,40 @@ def test_finetune3d_resume_from_non128_checkpoint(tmp_path, capsys):
     n = int(out.split("inflated ")[1].split(" ")[0])
     assert n > 0
     assert int(jax.device_get(state.step)) == 2
+
+
+def test_evaluate_cli_3d_metrics(tmp_path):
+    """VERDICT r2 #7: `cli.evaluate --metrics` on a 3D dataset emits the 3D
+    battery (nMAE/nMSE/nMXE + 3D boundary RMSE + 3D spectral bands)."""
+    from dpot_tpu.cli.evaluate import main as eval_main
+    from dpot_tpu.train.checkpoint import save_checkpoint
+    from dpot_tpu.train.optimizers import build_optimizer
+    from dpot_tpu.train.state import TrainState
+
+    make_synthetic_spec("synthetic_3d_ev", train_size=4, test_size=2,
+                        t_total=10, t_test=2, in_size=(16, 16, 16),
+                        n_channels=2)
+    model3d = build_model(
+        "DPOT3D", img_size=16, patch_size=4, in_channels=2, in_timesteps=4,
+        out_timesteps=1, embed_dim=16, depth=1, n_blocks=4, modes=2, n_cls=1,
+    )
+    p3d = model3d.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 4, 2)))
+    st = TrainState.create(
+        model3d.apply, p3d, build_optimizer("adam", 1e-3), jax.random.key(0)
+    )
+    ck = str(tmp_path / "ck3d")
+    save_checkpoint(ck, st)
+
+    results = eval_main(
+        (
+            "--model DPOT3D --test_paths synthetic_3d_ev --res 16 "
+            "--patch_size 4 --width 16 --n_layers 1 --n_blocks 4 --modes 2 "
+            "--T_in 4 --batch_size 2 --num_workers 2 --metrics "
+            f"--resume_path {ck}"
+        ).split()
+    )
+    r = results["synthetic_3d_ev"]
+    for k in ("nmae", "nmse", "nmxe", "bdmse", "fmse_low", "fmse_mid"):
+        assert k in r, k
+        assert np.isfinite(r[k]), (k, r[k])
+    assert np.isfinite(r["loss_full"])
