@@ -50,6 +50,7 @@ def afno_filter_2d_sharded(
     axis_name: str = "spatial",
     batch_axis: str | None = None,
     compute_dtype=None,
+    slice_modes: bool = True,
 ) -> jax.Array:
     """AFNO 2D mixer with H sharded over `axis_name`. x: (B, H, W, C)
     global; H % axis_size == 0 required.
@@ -63,7 +64,14 @@ def afno_filter_2d_sharded(
     compute_dtype: bf16 runs the mode MLP at full MXU rate AND moves the
     spectra through both all_to_all transposes at half the ICI bytes; the
     DFT matmuls keep f32 accumulation (f32 const matrices promote). None
-    (default) is the f32 golden-parity path."""
+    (default) is the f32 golden-parity path.
+
+    slice_modes: run the 2-layer mode MLP only on the kept spectral corner
+    (rows [:kh] are contiguous after the H-gather; the kept W-freq columns
+    are a PREFIX of every shard's local columns since global col =
+    shard_idx*wfs + j) instead of on every local mode + mask — ~H/kh x
+    fewer MLP FLOPs (2x at the 512^2/patch-8 shape). False keeps the
+    compute-everywhere path (used by the FLOP-reduction regression test)."""
     B, H, W, C = x.shape
     s = mesh.shape[axis_name]
     assert H % s == 0, f"H={H} must divide spatial axis {s}"
@@ -99,21 +107,44 @@ def afno_filter_2d_sharded(
         re, im = _fft_axis(re, im, 1)
         re, im = re * scale, im * scale
 
-        # 4) mode MLP on every local mode, then mask to the kept corner
         wfs = Wfp // s
-        n_local = Bl * H * wfs
-        o_re, o_im = afno_mode_mlp(
-            re.reshape(n_local, nb, bs), im.reshape(n_local, nb, bs),
-            w1, b1, w2, b2, act, compute_dtype=compute_dtype,
-        )
-        o_re = o_re.reshape(Bl, H, wfs, C)
-        o_im = o_im.reshape(Bl, H, wfs, C)
-        row_keep = (jnp.arange(H) < kh)[None, :, None, None]
-        gcol = idx * wfs + jnp.arange(wfs)
-        col_keep = (gcol < kw)[None, None, :, None]
-        keep = jnp.logical_and(row_keep, col_keep)
-        o_re = jnp.where(keep, o_re, 0.0)
-        o_im = jnp.where(keep, o_im, 0.0)
+        if slice_modes:
+            # 4) mode MLP on the kept corner only. Non-kept modes are
+            # zeroed in the output spectrum (AFNO semantics), so slicing
+            # [:kh, :cw] before the MLP and zero-padding after is exact;
+            # only boundary shards spend (cw - kept) columns of dead work,
+            # masked below.
+            cw = min(wfs, kw)
+            n_k = Bl * kh * cw
+            o_re, o_im = afno_mode_mlp(
+                re[:, :kh, :cw].reshape(n_k, nb, bs),
+                im[:, :kh, :cw].reshape(n_k, nb, bs),
+                w1, b1, w2, b2, act, compute_dtype=compute_dtype,
+            )
+            o_re = o_re.reshape(Bl, kh, cw, C)
+            o_im = o_im.reshape(Bl, kh, cw, C)
+            gcol = idx * wfs + jnp.arange(cw)
+            col_keep = (gcol < kw)[None, None, :, None]
+            o_re = jnp.where(col_keep, o_re, 0.0)
+            o_im = jnp.where(col_keep, o_im, 0.0)
+            pad_out = ((0, 0), (0, H - kh), (0, wfs - cw), (0, 0))
+            o_re = jnp.pad(o_re, pad_out)
+            o_im = jnp.pad(o_im, pad_out)
+        else:
+            # mode MLP on every local mode, then mask to the kept corner
+            n_local = Bl * H * wfs
+            o_re, o_im = afno_mode_mlp(
+                re.reshape(n_local, nb, bs), im.reshape(n_local, nb, bs),
+                w1, b1, w2, b2, act, compute_dtype=compute_dtype,
+            )
+            o_re = o_re.reshape(Bl, H, wfs, C)
+            o_im = o_im.reshape(Bl, H, wfs, C)
+            row_keep = (jnp.arange(H) < kh)[None, :, None, None]
+            gcol = idx * wfs + jnp.arange(wfs)
+            col_keep = (gcol < kw)[None, None, :, None]
+            keep = jnp.logical_and(row_keep, col_keep)
+            o_re = jnp.where(keep, o_re, 0.0)
+            o_im = jnp.where(keep, o_im, 0.0)
 
         # 5) local inverse FFT over H (unscaled)
         yr, yi = _ifft_axis(o_re, o_im, 1)
