@@ -19,10 +19,12 @@ Knobs:
   DPOT_BENCH_ENTRY=<name>        run one LADDER entry in this process
   DPOT_BENCH_REMAT=1             force remat on the single-preset run
 
-vs_baseline compares against an estimated A100 PyTorch fp32 step rate for
-the same config (the reference publishes no numbers — BASELINE.md). The
-estimate (A100_BASELINE_STEPS_PER_SEC) assumes TF32 matmuls, cuFFT, and the
-reference's permute-heavy NCHW data flow at batch 8.
+vs_baseline compares against a DERIVED A100 PyTorch step-rate estimate for
+the same config (the reference publishes no numbers). Derivation in
+BASELINE.md §"Derived A100 baseline estimate": measured 1.563 TFLOP/step
+(XLA cost analysis of the f32 step) over an fp32 A100 roofline at the
+precision the reference actually runs (no TF32/AMP) -> 6.5-8.5 steps/s,
+central 7.5. vs_baseline_tf32 uses the tuned TF32 upper bound (central 20).
 """
 
 import json
@@ -32,7 +34,12 @@ import time
 
 import numpy as np
 
-A100_BASELINE_STEPS_PER_SEC = 10.0
+# central estimates + bands from BASELINE.md's derivation (DPOT-M B=8 128^2)
+A100_BASELINE_STEPS_PER_SEC = 7.5       # reference-as-shipped: plain fp32
+A100_BASELINE_BAND = (6.5, 8.5)
+A100_TF32_STEPS_PER_SEC = 20.0          # upper bound with allow_tf32=True
+A100_TF32_BAND = (17.0, 22.0)
+DPOT_M_STEP_TFLOP = 1.563               # measured, jax cost_analysis @ B=8
 
 WARMUP = 3
 ITERS = 20
@@ -87,7 +94,7 @@ def bench_train(preset: str, batch: int, remat: bool = False,
     assert np.isfinite(loss)
     sps = 1.0 / dt
     tag = "+remat" if remat else ""
-    return {
+    out = {
         "metric": f"DPOT-{preset}{tag} train steps/sec/chip (B={batch}, {img}^2, T_in=10, bf16)",
         "value": round(sps, 3),
         "unit": "steps/sec",
@@ -97,6 +104,21 @@ def bench_train(preset: str, batch: int, remat: bool = False,
             round(sps / A100_BASELINE_STEPS_PER_SEC, 3) if img == 128 else None
         ),
     }
+    if preset == "M" and img == 128:
+        # the headline config carries the full derivation inputs
+        # (BASELINE.md §derived estimate) so the ratio's uncertainty is
+        # visible in the recorded JSON
+        out.update(
+            baseline_est_steps_per_sec=A100_BASELINE_STEPS_PER_SEC,
+            baseline_band=list(A100_BASELINE_BAND),
+            vs_baseline_band=[
+                round(sps / A100_BASELINE_BAND[1], 3),
+                round(sps / A100_BASELINE_BAND[0], 3),
+            ],
+            vs_baseline_tf32=round(sps / A100_TF32_STEPS_PER_SEC, 3),
+            step_tflop=DPOT_M_STEP_TFLOP,
+        )
+    return out
 
 
 def bench_train_3d(batch: int = 2, size: int = 64, iters: int = ITERS) -> dict:

@@ -25,15 +25,21 @@ def main(argv=None):
     from dpot_tpu.utils.config import load_config
 
     argv = list(argv if argv is not None else sys.argv[1:])
-    host, port = "127.0.0.1", 8476
-    if "--port" in argv:
-        i = argv.index("--port")
-        port = int(argv[i + 1])
-        del argv[i : i + 2]
-    if "--host" in argv:
-        i = argv.index("--host")
-        host = argv[i + 1]
-        del argv[i : i + 2]
+
+    def take(flag, default, cast=str):
+        if flag in argv:
+            i = argv.index(flag)
+            v = cast(argv[i + 1])
+            del argv[i : i + 2]
+            return v
+        return default
+
+    host = take("--host", "127.0.0.1")
+    port = take("--port", 8476, int)
+    auth_token = take("--auth_token", None)
+    max_steps = take("--max_steps", 64, int)
+    ssl_certfile = take("--ssl_certfile", None)
+    ssl_keyfile = take("--ssl_keyfile", None)
     cfg = load_config(argv)
 
     model = build_model(
@@ -54,17 +60,29 @@ def main(argv=None):
 
         params = restore_params(cfg.resume_path, params)
 
-    httpd, rs = serve(model, params, host=host, port=port,
-                      t_bundle=cfg.T_bundle)
+    httpd, rs = serve(
+        model, params, host=host, port=port, t_bundle=cfg.T_bundle,
+        auth_token=auth_token, max_steps=max_steps,
+        ssl_certfile=ssl_certfile, ssl_keyfile=ssl_keyfile,
+    )
+    scheme = "https" if ssl_certfile else "http"
     print(f"serving {cfg.model} ({rs.n_params/1e6:.1f}M params) "
-          f"on http://{host}:{port}", flush=True)
-    try:
-        import threading
+          f"on {scheme}://{host}:{port}"
+          + (" [auth required]" if auth_token else ""), flush=True)
 
-        threading.Event().wait()
+    import signal
+    import threading
+
+    done = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *_: done.set())
+    try:
+        done.wait()
     except KeyboardInterrupt:
-        httpd.shutdown()
-        rs.stop()
+        pass
+    # graceful: stop accepting, finish queued work, then close the listener
+    print("shutting down (draining queue)...", flush=True)
+    rs.stop(drain=True)
+    httpd.shutdown()
 
 
 if __name__ == "__main__":

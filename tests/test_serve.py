@@ -111,3 +111,122 @@ def test_oversize_request_chunks_through_buckets(served):
     im, _ = model.apply(params, jnp.asarray(x))
     np.testing.assert_allclose(pred[..., 0, :], np.asarray(im)[..., 0, :],
                                atol=1e-5)
+
+
+def test_metrics_endpoint(served):
+    model, params, rs, port = served
+    # drive one request so counters move
+    x = np.random.default_rng(3).standard_normal((1, 16, 16, 4, 2)).astype(np.float32)
+    _post_rollout(port, x, 1)
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+        m = json.loads(r.read())
+    assert m["requests"] >= 1
+    assert m["batches"] >= 1
+    assert m["latency_ms_avg"] > 0
+    assert 0 < m["bucket_fill_rate"] <= 1
+    assert m["accepting"] is True
+
+
+def test_steps_validation(served):
+    """steps keys the jitted-rollout cache; out-of-range values must be
+    rejected (400), not compiled and cached forever."""
+    model, params, rs, port = served
+    x = np.zeros((1, 16, 16, 4, 2), np.float32)
+    import urllib.error
+
+    for bad in (0, -1, rs.max_steps + 1):
+        try:
+            _post_rollout(port, x, bad)
+            raise AssertionError(f"steps={bad} was accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    before = len(rs._rollout_cache)
+    # a & query-string variant parses correctly via urllib.parse
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/rollout?foo=1&steps=2", method="POST",
+        data=io.BytesIO(),  # placeholder, replaced below
+    )
+    buf = io.BytesIO()
+    np.save(buf, x)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/rollout?foo=1&steps=2", data=buf.getvalue(),
+        method="POST", headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req) as r:
+        out = np.load(io.BytesIO(r.read()))
+    assert out.shape[-2] == 2
+    assert len(rs._rollout_cache) == before + 1
+
+
+def test_auth_token():
+    """With auth_token set: /healthz open, /rollout and /metrics require
+    the bearer token."""
+    from dpot_tpu.serve import serve as serve_fn
+    import urllib.error
+
+    model = build_model(
+        "DPOT", img_size=16, patch_size=4, in_channels=2, in_timesteps=4,
+        out_timesteps=1, embed_dim=32, depth=1, n_blocks=4, modes=4, n_cls=1,
+    )
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 4, 2)))
+    httpd, rs = serve_fn(model, params, port=0, auth_token="sekrit",
+                         batch_buckets=(1, 2), max_wait_ms=5.0)
+    port = httpd.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.loads(r.read())["ok"]
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics")
+            raise AssertionError("unauthenticated /metrics accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        x = np.zeros((1, 16, 16, 4, 2), np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        # wrong token -> 401
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rollout?steps=1", data=buf.getvalue(),
+            method="POST", headers={"Authorization": "Bearer nope"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("bad token accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # right token -> 200
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rollout?steps=1", data=buf.getvalue(),
+            method="POST", headers={"Authorization": "Bearer sekrit"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (1, 16, 16, 1, 2)
+        assert rs.metrics()["auth_failures"] == 2
+    finally:
+        httpd.shutdown()
+        rs.stop()
+
+
+def test_graceful_shutdown_drains():
+    """stop(drain=True) finishes queued work and rejects new submissions."""
+    from dpot_tpu.serve import RolloutServer
+
+    model = build_model(
+        "DPOT", img_size=16, patch_size=4, in_channels=2, in_timesteps=4,
+        out_timesteps=1, embed_dim=32, depth=1, n_blocks=4, modes=4, n_cls=1,
+    )
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 4, 2)))
+    rs = RolloutServer(model, params, batch_buckets=(1, 2), max_wait_ms=1.0)
+    rs.start()
+    x = np.zeros((1, 16, 16, 4, 2), np.float32)
+    results = []
+    t = threading.Thread(target=lambda: results.append(rs.submit(x, 1)))
+    t.start()
+    t.join(timeout=30)
+    rs.stop(drain=True)
+    assert len(results) == 1 and results[0].shape == (1, 16, 16, 1, 2)
+    try:
+        rs.submit(x, 1)
+        raise AssertionError("submit accepted after shutdown")
+    except RuntimeError as e:
+        assert "shutting down" in str(e)
