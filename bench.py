@@ -231,6 +231,9 @@ LADDER = {
     "infer_b8": lambda: bench_inference("M", 8),
     "infer_scan_b1": lambda: bench_inference_scan("M", 1),
     "infer_scan_b8": lambda: bench_inference_scan("M", 8),
+    # host-side: on-disk HDF5 ingest rate vs the chip's consumption
+    # (SURVEY §7 hard part (d); no TPU involved)
+    "ingest": lambda: bench_ingest(),
 }
 
 
@@ -288,6 +291,67 @@ def bench_inference_scan(
         "value": round(dt, 3),
         "unit": "ms/step",
         "vs_baseline": None,
+    }
+
+
+def bench_ingest(n_files: int = 128, res: int = 128, batch: int = 8,
+                 epochs: int = 3) -> dict:
+    """On-disk HDF5 ingest rate: DataLoader end-to-end over a scatter
+    corpus at the pretraining shape (res^2 x 21 x 4 f32, one trajectory
+    per file — reference utils/griddataset.py:88-117 + DataLoader
+    train_temporal.py:108-109). Measures the windowed-read + raw-memmap +
+    fetch_into path (data/raw_hdf5.py, loader.py) that has to outrun the
+    chip's sample consumption (SURVEY §7 hard part (d)). The corpus is
+    cached under /tmp and re-read warm — matching epochs >=2 of a real
+    run (epoch 1 is disk-bound once, page cache after)."""
+    import tempfile
+
+    from dpot_tpu.data.generation import generate_synthetic_corpus
+    from dpot_tpu.data.grid_dataset import MixedTemporalDataset
+    from dpot_tpu.data.loader import DataLoader
+
+    name = f"ns2d_ingest_{res}"
+    root = os.path.join(tempfile.gettempdir(), "dpot_ingest_corpus")
+    marker = os.path.join(root, name, "train", f"data_{n_files - 1}.hdf5")
+    if not os.path.exists(marker):
+        generate_synthetic_corpus(
+            root, name=name, n_train=n_files, n_test=2,
+            in_size=(res, res), t_total=21, n_channels=4,
+        )
+    os.environ["DPOT_DATA_ROOT"] = root
+    from dpot_tpu.data.registry import DatasetSpec, register_dataset
+
+    register_dataset(DatasetSpec(
+        name=name, train_path=f"{name}/train", test_path=f"{name}/test",
+        train_size=n_files, test_size=2, scatter_storage=True, t_test=10,
+        t_in=10, t_total=21, in_size=(res, res), n_channels=4,
+        downsample=(1, 1),
+    ))
+    ds = MixedTemporalDataset(name, res=res, t_in=10, t_ar=1,
+                              n_channels=4, train=True)
+    best = 0.0
+    for nw in (1, 2, 4):
+        dl = DataLoader(ds, batch_size=batch, shuffle=True, num_workers=nw)
+        rate = 0.0
+        for _ in range(epochs):  # first epoch warms cache + slot shapes
+            t0 = time.perf_counter()
+            n = 0
+            for b in dl:
+                n += b[0].shape[0]
+            rate = max(rate, n / (time.perf_counter() - t0))
+        best = max(best, rate)
+    # consumption rates from the measured ladder (BENCH_LADDER jsonl):
+    # DPOT-M B=8 ~53 steps/s -> ~424 samples/s; Ti ~189 -> ~1512
+    return {
+        "metric": (
+            f"ingest samples/s (scatter HDF5 {res}^2x21x4, windowed "
+            f"memmap reads, B={batch}, warm cache)"
+        ),
+        "value": round(best, 1),
+        "unit": "samples/sec",
+        "vs_baseline": None,
+        "x_dpot_m_consumption": round(best / 424.0, 2),
+        "x_dpot_ti_consumption": round(best / 1512.0, 2),
     }
 
 

@@ -24,32 +24,55 @@ from typing import Iterable, Optional, Sequence
 import numpy as np
 
 
+TIME_MAJOR_ATTR = "layout"
+TIME_MAJOR_TAG = "t_major"  # stored as (T, spatial..., C) instead of (spatial..., T, C)
+
+
 def write_scatter(
     root: str,
     trajectories: Iterable[np.ndarray],
     split: str = "train",
+    time_major: bool = False,
 ) -> int:
-    """Write one file per trajectory: <root>/<split>/data_{i}.hdf5."""
+    """Write one file per trajectory: <root>/<split>/data_{i}.hdf5.
+
+    time_major=True stores each (spatial..., T, C) trajectory transposed
+    to (T, spatial..., C) and tags the dataset with layout='t_major'. A
+    train item is a contiguous time window in that layout, so the ingest
+    fast path reads it as ONE sequential memmap copy (~2x the strided
+    T-inner rate, measured in tests/test_ingest_rate.py) and the train
+    step undoes the transpose ON DEVICE where it is ~free."""
     import h5py
 
     out = os.path.join(root, split)
     os.makedirs(out, exist_ok=True)
     n = 0
     for i, traj in enumerate(trajectories):
+        traj = np.asarray(traj, np.float32)
+        if time_major:
+            traj = np.ascontiguousarray(np.moveaxis(traj, -2, 0))
         with h5py.File(os.path.join(out, f"data_{i}.hdf5"), "w") as f:
-            f.create_dataset("data", data=np.asarray(traj, np.float32),
-                             compression=None)
+            d = f.create_dataset("data", data=traj, compression=None)
+            if time_major:
+                d.attrs[TIME_MAJOR_ATTR] = TIME_MAJOR_TAG
         n += 1
     return n
 
 
-def write_single(path: str, data: np.ndarray, field: str = "data") -> None:
-    """Write a single-file dataset with an (N, ...) 'data' array."""
+def write_single(path: str, data: np.ndarray, field: str = "data",
+                 time_major: bool = False) -> None:
+    """Write a single-file dataset with an (N, ...) 'data' array.
+    time_major=True stores (N, T, spatial..., C) (see write_scatter)."""
     import h5py
 
+    data = np.asarray(data, np.float32)
+    if time_major:
+        data = np.ascontiguousarray(np.moveaxis(data, -2, 1))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with h5py.File(path, "w") as f:
-        f.create_dataset(field, data=np.asarray(data, np.float32))
+        d = f.create_dataset(field, data=data)
+        if time_major:
+            d.attrs[TIME_MAJOR_ATTR] = TIME_MAJOR_TAG
 
 
 def split_train_test(n: int, test_frac: float = 0.1) -> tuple[np.ndarray, np.ndarray]:

@@ -25,30 +25,33 @@ from dpot_tpu.data.registry import DATASET_DICT, DatasetSpec, get_spec
 from dpot_tpu.data.resize import resize_linear_nd
 
 
-def _open_sample_reader(spec: DatasetSpec, train: bool) -> Callable[[int], np.ndarray]:
-    """Reader for one dataset: idx -> raw sample array (spatial..., T, C?)."""
+def _open_sample_reader(spec: DatasetSpec, train: bool) -> Callable[..., np.ndarray]:
+    """Reader for one dataset: (idx, tsel=None) -> raw sample array
+    (spatial..., T[, C]) — tsel (a slice) restricts the time axis.
+
+    Windowed reads are the ingest hot path (SURVEY §7 hard part (d)): a
+    train item needs t_in+t_ar of t_total frames, so reading only the
+    window cuts IO bytes and decode work ~2x at the standard 21-frame
+    trajectories (the reference reads whole samples,
+    utils/griddataset.py:141). HDF5 reads go through the raw-offset memmap
+    fast path (data/raw_hdf5.py) when the corpus uses the framework's
+    contiguous protocol."""
     if spec.synthetic:
-        return lambda idx: _synthetic_sample(spec, train, idx)
-    import h5py
+        from dpot_tpu.data.raw_hdf5 import _window
+
+        def read_synth(idx: int, tsel=None, copy: bool = True) -> np.ndarray:
+            return _window(_synthetic_sample(spec, train, idx), tsel)
+
+        return read_synth
 
     path = spec.resolve(train)
     if spec.scatter_storage:
-        def read(idx: int) -> np.ndarray:
-            with h5py.File(os.path.join(path, f"data_{idx}.hdf5"), "r") as f:
-                return f["data"][:]
+        from dpot_tpu.data.raw_hdf5 import RawScatterReader
 
-        return read
+        return RawScatterReader(path).read
+    from dpot_tpu.data.raw_hdf5 import RawSingleReader
 
-    handle = {}
-
-    def read_single(idx: int) -> np.ndarray:
-        # lazily open per process/thread to be fork-safe
-        key = os.getpid()
-        if key not in handle:
-            handle[key] = h5py.File(path, "r")
-        return handle[key]["data"][idx][:]
-
-    return read_single
+    return RawSingleReader(path).read
 
 
 def _synthetic_sample(spec: DatasetSpec, train: bool, idx: int) -> np.ndarray:
@@ -168,27 +171,36 @@ class MixedTemporalDataset:
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         dataset_idx, data_idx = self.locate(idx)
-        sample = np.asarray(self.readers[dataset_idx](data_idx), dtype=np.float32)
-        if sample.ndim == 3:  # augment channel dim
-            sample = sample[..., None]
-
         spec = self.specs[dataset_idx]
-        orig_size = list(sample.shape)
-        if spec.pred_channels is not None:
-            orig_size[-1] = spec.pred_channels
-        sample = self.pad_data(sample)
 
         if self.train:
+            # draw the window on the RAW trajectory (pad_data is
+            # spatial-only, so T and hence the draw distribution are
+            # identical to slicing after the pad — reference
+            # griddataset.py:146-153), then read+resize ONLY the
+            # t_in+t_ar kept frames: the windowed HDF5 read + windowed
+            # resize halve the per-item ingest cost at t_total=21
             rng = rng or np.random
-            hi = max(sample.shape[-2] - (self.t_in + self.t_ar) + 1, 1)
+            hi = max(spec.t_total - (self.t_in + self.t_ar) + 1, 1)
             start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
-            x = sample[..., start : start + self.t_in, :]
-            y = sample[
-                ..., start + self.t_in : min(start + self.t_in + self.t_ar, sample.shape[-2]), :
-            ]
+            win = slice(start, min(start + self.t_in + self.t_ar, spec.t_total))
+            sample = np.asarray(
+                self.readers[dataset_idx](data_idx, tsel=win), dtype=np.float32
+            )
+            if sample.ndim == 3:  # augment channel dim
+                sample = sample[..., None]
+            sample = self.pad_data(sample)
+            x = sample[..., : self.t_in, :]
+            y = sample[..., self.t_in :, :]
             msk = np.ones((*x.shape[:2], 1, x.shape[-1]), dtype=np.float32)
         else:
-            start = 0
+            sample = np.asarray(self.readers[dataset_idx](data_idx), dtype=np.float32)
+            if sample.ndim == 3:
+                sample = sample[..., None]
+            orig_size = list(sample.shape)
+            if spec.pred_channels is not None:
+                orig_size[-1] = spec.pred_channels
+            sample = self.pad_data(sample)
             x = sample[..., : self.t_in, :]
             y = sample[..., self.t_in : self.t_in + self.t_tests[dataset_idx], :]
             msk = self.get_target_mask(sample, orig_size)
@@ -207,6 +219,43 @@ class MixedTemporalDataset:
 
         return x, y, msk, np.int32(dataset_idx)
 
+    def fetch_into(self, idx: int, out_x, out_y, out_msk, rng) -> np.int32:
+        """Zero-intermediate batch assembly (loader fast path): copy the
+        windowed trajectory STRAIGHT from the corpus memmap into the
+        caller's batch slots — one strided pass per sample instead of the
+        generic path's three (memmap->item array, item->stack, ones msk).
+        Falls back to __getitem__ + copy when any per-item transform
+        (resize, normalize, downsample, channel pad, short trajectory)
+        needs an intermediate. Semantically identical to __getitem__
+        (same rng draw, same window); tests/test_ingest_rate.py checks
+        exact equality."""
+        dataset_idx, data_idx = self.locate(idx)
+        spec = self.specs[dataset_idx]
+        fast = (
+            self.train
+            and not self.normalize
+            and tuple(self.downsamples[dataset_idx]) == (1, 1)
+            and tuple(spec.in_size) == (self.res, self.res)
+            and spec.n_channels == self.n_channels
+            and spec.t_total >= self.t_in + self.t_ar
+        )
+        if not fast:
+            x, y, msk, cls = self.__getitem__(idx, rng=rng)
+            np.copyto(out_x, x)
+            np.copyto(out_y, y)
+            np.copyto(out_msk, msk)
+            return cls
+        hi = spec.t_total - (self.t_in + self.t_ar) + 1
+        start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
+        win = slice(start, start + self.t_in + self.t_ar)
+        sample = self.readers[dataset_idx](data_idx, tsel=win, copy=False)
+        if sample.ndim == 3:
+            sample = sample[..., None]
+        np.copyto(out_x, sample[..., : self.t_in, :])
+        np.copyto(out_y, sample[..., self.t_in :, :])
+        out_msk[...] = 1.0
+        return np.int32(dataset_idx)
+
 
 class MixedMaskedDataset(MixedTemporalDataset):
     """Masked-prediction variant (reference utils/griddataset.py:182-336):
@@ -219,22 +268,40 @@ class MixedMaskedDataset(MixedTemporalDataset):
         x_new[:, :, -1, :] = -1.0
         return x_new
 
+    def fetch_into(self, idx: int, out_x, out_y, out_msk, rng) -> np.int32:
+        # the masked item layout (x_msk, x, target_msk) differs from the
+        # parent's (x, y, msk): route through __getitem__; the loader
+        # still saves the stack pass
+        x_msk, x, t_msk, cls = self.__getitem__(idx, rng=rng)
+        np.copyto(out_x, x_msk)
+        np.copyto(out_y, x)
+        np.copyto(out_msk, t_msk)
+        return cls
+
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         dataset_idx, data_idx = self.locate(idx)
-        sample = np.asarray(self.readers[dataset_idx](data_idx), dtype=np.float32)
-        if sample.ndim == 3:
-            sample = sample[..., None]
-        orig_size = list(sample.shape)
-        sample = self.pad_data(sample)
-
         if self.train:
+            # windowed read+resize of just the t_in kept frames (see
+            # MixedTemporalDataset.__getitem__)
+            spec = self.specs[dataset_idx]
             rng = rng or np.random.default_rng()
-            hi = max(sample.shape[-2] - self.t_in + 1, 1)
+            hi = max(spec.t_total - self.t_in + 1, 1)
             start = int(rng.integers(hi))
-            x = sample[..., start : start + self.t_in, :]
+            win = slice(start, min(start + self.t_in, spec.t_total))
+            x = np.asarray(
+                self.readers[dataset_idx](data_idx, tsel=win), np.float32
+            )
+            if x.ndim == 3:
+                x = x[..., None]
+            x = self.pad_data(x)
             x_msk = self.get_masked_input(x)
             target_msk = np.ones((*x.shape[:2], 1, x.shape[-1]), np.float32)
         else:
+            sample = np.asarray(self.readers[dataset_idx](data_idx), dtype=np.float32)
+            if sample.ndim == 3:
+                sample = sample[..., None]
+            orig_size = list(sample.shape)
+            sample = self.pad_data(sample)
             x_msk = self.get_masked_input(sample[..., : self.t_in, :])
             x = sample[
                 ..., self.t_in - 1 : self.t_in + self.t_tests[dataset_idx], :
@@ -273,16 +340,19 @@ class SteadyDataset2D:
         )
         self.downsample = self.spec.downsample
         self._train = train
+        self._readers: dict = {}
 
     def _read(self, idx: int, field: str) -> np.ndarray:
-        import h5py
+        if field not in self._readers:
+            from dpot_tpu.data.raw_hdf5 import RawScatterReader, RawSingleReader
 
-        path = self.spec.resolve(self._train)
-        if self.spec.scatter_storage:
-            with h5py.File(os.path.join(path, f"data_{idx}.hdf5"), "r") as f:
-                return f[field][:]
-        with h5py.File(path, "r") as f:
-            return f[field][idx][:]
+            path = self.spec.resolve(self._train)
+            self._readers[field] = (
+                RawScatterReader(path, field)
+                if self.spec.scatter_storage
+                else RawSingleReader(path, field)
+            )
+        return self._readers[field].read(idx)
 
     def pad_data(self, x: np.ndarray) -> np.ndarray:
         # (H, W, C) -> (res, res, 1, Cmax) with ONES channel pad
@@ -388,24 +458,30 @@ class TemporalDataset3D:
         return msk
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
-        sample = np.asarray(self.reader(idx), dtype=np.float32)
-        if sample.ndim == 4:
-            sample = sample[..., None]
-        orig_size = list(sample.shape)
-        if self.spec.pred_channels is not None:
-            orig_size[-1] = self.spec.pred_channels
-        sample = self.pad_data(sample)
-
         if self.train:
+            # windowed read + trilinear-resize of ONLY the t_in+t_ar kept
+            # frames — at 128^3x21x5 a full-trajectory read is 344MB/item;
+            # the window cuts ingest bytes and resize work ~2x (see
+            # MixedTemporalDataset.__getitem__)
             rng = rng or np.random
-            hi = max(sample.shape[-2] - (self.t_in + self.t_ar) + 1, 1)
+            hi = max(self.spec.t_total - (self.t_in + self.t_ar) + 1, 1)
             start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
-            x = sample[..., start : start + self.t_in, :]
-            y = sample[
-                ..., start + self.t_in : min(start + self.t_in + self.t_ar, sample.shape[-2]), :
-            ]
+            win = slice(start, min(start + self.t_in + self.t_ar, self.spec.t_total))
+            sample = np.asarray(self.reader(idx, tsel=win), dtype=np.float32)
+            if sample.ndim == 4:
+                sample = sample[..., None]
+            sample = self.pad_data(sample)
+            x = sample[..., : self.t_in, :]
+            y = sample[..., self.t_in :, :]
             msk = np.ones((*x.shape[:3], 1, x.shape[-1]), dtype=np.float32)
         else:
+            sample = np.asarray(self.reader(idx), dtype=np.float32)
+            if sample.ndim == 4:
+                sample = sample[..., None]
+            orig_size = list(sample.shape)
+            if self.spec.pred_channels is not None:
+                orig_size[-1] = self.spec.pred_channels
+            sample = self.pad_data(sample)
             x = sample[..., : self.t_in, :]
             y = sample[..., self.t_in : self.t_in + self.t_test, :]
             msk = self.get_target_mask(sample, orig_size)

@@ -121,12 +121,48 @@ class DataLoader:
             except TypeError:
                 return self.dataset[int(idx)]
 
+        # zero-intermediate assembly: datasets exposing fetch_into write
+        # each item STRAIGHT into its batch slot (one strided copy from
+        # the corpus memmap, no per-item arrays, no stack pass) — the
+        # difference between feeding and starving the chip on a
+        # few-core host (SURVEY §7 hard part (d)). The first batch goes
+        # through the generic stack path to learn the column shapes.
+        use_into = callable(getattr(self.dataset, "fetch_into", None))
+        slot_shapes: list = []
+
+        def fetch_batch_into(pool, batch_ids, base):
+            n = len(batch_ids)
+            x, y, msk = (np.empty((n, *s), np.float32) for s in slot_shapes)
+            cls = np.empty((n,), np.int32)
+
+            def one(j_i):
+                j, i = j_i
+                item_rng = np.random.default_rng((rng_seed, base + j))
+                cls[j] = self.dataset.fetch_into(
+                    int(i), x[j], y[j], msk[j], item_rng
+                )
+
+            list(pool.map(one, enumerate(batch_ids)))
+            return x, y, msk, cls
+
         def fetch_batch(pool, batch_ids, base):
+            if slot_shapes:
+                return fetch_batch_into(pool, batch_ids, base)
             items = list(pool.map(fetch_item, [(base + j, i) for j, i in enumerate(batch_ids)]))
             cols = list(zip(*items))
-            return tuple(
+            out = tuple(
                 np.stack(c) if np.ndim(c[0]) > 0 else np.asarray(c) for c in cols
             )
+            if (
+                use_into
+                and len(out) == 4
+                and all(
+                    isinstance(a, np.ndarray) and a.dtype == np.float32
+                    for a in out[:3]
+                )
+            ):
+                slot_shapes.extend(a.shape[1:] for a in out[:3])
+            return out
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -1,0 +1,163 @@
+"""Raw-offset fast path for the framework's own HDF5 protocol.
+
+The protocol writers (data/generation.py:write_scatter/write_single) emit
+UNCOMPRESSED, CONTIGUOUS datasets. For those, h5py's generic read machinery
+costs ~1 ms per call on this class of host (file open + H5Dread dispatch)
+while the raw 5.5 MB page-cache read underneath is ~0.8 ms — per-sample
+HDF5 overhead alone would cap ingest below the chip's consumption rate
+(SURVEY §7 hard part (d); measured in tests/test_ingest_rate.py).
+
+So: probe the dataset's byte offset ONCE with h5py (`Dataset.id.get_offset`
+— None for chunked/compressed layouts), validate the file size matches
+offset + nbytes exactly, then serve every subsequent read as a numpy
+memmap window straight out of the page cache. Any mismatch (foreign
+corpus, chunked layout, variable shapes) falls back to h5py per read.
+
+The reference has no counterpart (torch DataLoader + h5py across 8 worker
+processes, utils/griddataset.py:60-87); this host feeds a TPU from ONE
+core, so per-read constant costs are the ingest budget.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def contiguous_layout(path: str, field: str = "data"):
+    """(byte_offset, shape, dtype) of an uncompressed contiguous HDF5
+    dataset, or None when the layout can't be raw-read (chunked,
+    compressed, virtual, or the offset is unavailable)."""
+    import h5py
+
+    try:
+        with h5py.File(path, "r") as f:
+            d = f[field]
+            if d.chunks is not None or d.compression is not None:
+                return None
+            off = d.id.get_offset()
+            if off is None:
+                return None
+            return int(off), tuple(d.shape), np.dtype(d.dtype)
+    except Exception:
+        return None
+
+
+def is_time_major(path: str, field: str = "data") -> bool:
+    """True when the dataset is tagged with the time-major layout attr
+    (written by generation.write_scatter/write_single time_major=True:
+    (T, spatial..., C) per trajectory instead of (spatial..., T, C))."""
+    import h5py
+
+    try:
+        with h5py.File(path, "r") as f:
+            return f[field].attrs.get("layout") == "t_major"
+    except Exception:
+        return False
+
+
+class RawScatterReader:
+    """idx -> array for scatter corpora (<root>/data_{i}.hdf5), memmapping
+    files whose layout matches the probe; h5py otherwise."""
+
+    def __init__(self, root: str, field: str = "data"):
+        self.root = root
+        self.field = field
+        self._layout = -1  # unprobed sentinel (None = probed, unusable)
+        self._time_major: Optional[bool] = None
+
+    def _path(self, idx: int) -> str:
+        return os.path.join(self.root, f"data_{idx}.hdf5")
+
+    @property
+    def time_major(self) -> bool:
+        """Stored-layout flag (probes file 0 on first access). Readers
+        return data IN THE STORED LAYOUT; callers transpose (host) or
+        defer it to the device (ingest fast path)."""
+        if self._time_major is None:
+            self._time_major = is_time_major(self._path(0), self.field)
+        return self._time_major
+
+    def read(self, idx: int, tsel=None, copy: bool = True) -> np.ndarray:
+        """copy=False may return a memmap-backed VIEW (zero-copy — the
+        caller copies straight into its destination, e.g. a batch slot);
+        it is only a view on the raw fast path, so callers must not
+        mutate the result."""
+        if self._layout == -1:
+            self._layout = contiguous_layout(self._path(idx), self.field)
+        tmaj = self.time_major
+        lay = self._layout
+        path = self._path(idx)
+        if lay is not None:
+            off, shape, dtype = lay
+            nbytes = int(np.prod(shape)) * dtype.itemsize
+            # exact-size check: our writer puts the data block last, so a
+            # same-shape file ends exactly at off + nbytes; anything else
+            # (foreign writer, trailing metadata, shorter trajectory) takes
+            # the safe path
+            if os.path.getsize(path) == off + nbytes:
+                m = np.memmap(path, dtype=dtype, mode="r", offset=off,
+                              shape=shape)
+                w = _window(m, tsel, tmaj)
+                return w if not copy else np.array(w)
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return _window(f[self.field], tsel, tmaj)
+
+
+class RawSingleReader:
+    """idx -> array for single-file corpora ((N, ...) 'data' array),
+    memmapping when contiguous; a cached h5py handle otherwise."""
+
+    def __init__(self, path: str, field: str = "data"):
+        self.path = path
+        self.field = field
+        self._layout = -1
+        self._time_major: Optional[bool] = None
+        self._mm: Optional[np.memmap] = None
+        self._handles: dict = {}
+
+    @property
+    def time_major(self) -> bool:
+        if self._time_major is None:
+            self._time_major = is_time_major(self.path, self.field)
+        return self._time_major
+
+    def read(self, idx: int, tsel=None, copy: bool = True) -> np.ndarray:
+        if self._layout == -1:
+            self._layout = contiguous_layout(self.path, self.field)
+        tmaj = self.time_major
+        if self._layout is not None:
+            if self._mm is None:
+                off, shape, dtype = self._layout
+                self._mm = np.memmap(self.path, dtype=dtype, mode="r",
+                                     offset=off, shape=shape)
+            w = _window(self._mm[idx], tsel, tmaj)
+            return w if not copy else np.array(w)
+        import h5py
+
+        # lazily open per process to be fork-safe (matches the prior
+        # h5py-only reader)
+        key = os.getpid()
+        if key not in self._handles:
+            self._handles[key] = h5py.File(self.path, "r")
+        d = self._handles[key][self.field]
+        if tsel is None:
+            return d[idx][:]
+        if tmaj:
+            return d[idx, tsel]
+        return d[idx, ..., tsel, :] if d.ndim >= 5 else d[idx, ..., tsel]
+
+
+def _window(d, tsel, time_major: bool = False):
+    """Select the tsel time window: (spatial..., T[, C]) data windows the
+    T axis in place; time-major (T, spatial..., C) windows the LEADING
+    axis (a contiguous byte range — the whole point of that layout)."""
+    if tsel is None:
+        return d[:]
+    if time_major:
+        return d[tsel]
+    return d[..., tsel, :] if d.ndim >= 4 else d[..., tsel]

@@ -41,8 +41,15 @@ def resize_bilinear_2d(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
 
 def pad_data_2d(x: np.ndarray, res: int, c_max: int) -> np.ndarray:
     """(H, W, T, C) -> (res, res, T, c_max), ONES channel padding."""
-    lib = get_library()
     H, W, T, C = x.shape
+    if (H, W) == (res, res):
+        # identity resize: skip the whole bilinear pass (the common case —
+        # pretraining reads 128^2 corpora at res=128; ingest hot path)
+        if C == c_max:
+            return np.ascontiguousarray(x, np.float32)
+        pad = np.ones((H, W, T, c_max - C), np.float32)
+        return np.concatenate([np.asarray(x, np.float32), pad], axis=-1)
+    lib = get_library()
     if lib is None:
         from dpot_tpu.data.resize import resize_linear_nd
 
@@ -59,8 +66,11 @@ def pad_data_2d(x: np.ndarray, res: int, c_max: int) -> np.ndarray:
 
 def resize_trilinear_3d(x: np.ndarray, out_size: tuple[int, int, int]) -> np.ndarray:
     """(H, W, L, ...trailing) -> out_size + trailing."""
-    lib = get_library()
     H, W, L = x.shape[:3]
+    if (H, W, L) == tuple(out_size):
+        # identity resize: skip the trilinear pass (ingest hot path)
+        return np.ascontiguousarray(x, np.float32)
+    lib = get_library()
     trail = x.shape[3:]
     if lib is None:
         from dpot_tpu.data.resize import resize_linear_nd

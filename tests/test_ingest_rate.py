@@ -1,0 +1,170 @@
+"""On-disk ingest path: raw-memmap HDF5 readers, windowed train reads,
+zero-intermediate batch assembly (fetch_into), and the rate bar that makes
+it all matter — the loader must outrun the chip's sample consumption
+(SURVEY §7 hard part (d); VERDICT r2 item 1).
+
+Reference analogue: utils/griddataset.py:88-117 per-item reads feeding
+torch DataLoader(num_workers=8) in train_temporal.py:108-109. This host
+feeds the TPU from very few cores, so per-read constant costs (h5py
+dispatch ~1 ms/read) are the budget the raw path exists to reclaim.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from dpot_tpu.data.generation import generate_synthetic_corpus
+from dpot_tpu.data.grid_dataset import MixedTemporalDataset
+from dpot_tpu.data.loader import DataLoader
+from dpot_tpu.data.raw_hdf5 import RawScatterReader, RawSingleReader, contiguous_layout
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Small on-disk scatter corpus at the pretraining item shape."""
+    root = str(tmp_path_factory.mktemp("ingest"))
+    generate_synthetic_corpus(
+        root, name="ingest_t", n_train=48, n_test=4,
+        in_size=(128, 128), t_total=21, n_channels=4,
+    )
+    old = os.environ.get("DPOT_DATA_ROOT")
+    os.environ["DPOT_DATA_ROOT"] = root
+    yield root
+    if old is None:
+        os.environ.pop("DPOT_DATA_ROOT", None)
+    else:
+        os.environ["DPOT_DATA_ROOT"] = old
+
+
+def test_raw_reader_matches_h5py(corpus):
+    """The memmap fast path must read byte-identical data to h5py, full
+    and windowed, and the probe must detect the contiguous layout."""
+    import h5py
+
+    path = os.path.join(corpus, "ingest_t", "train")
+    assert contiguous_layout(os.path.join(path, "data_0.hdf5")) is not None
+    r = RawScatterReader(path)
+    for idx in (0, 7):
+        with h5py.File(os.path.join(path, f"data_{idx}.hdf5"), "r") as f:
+            ref = f["data"][:]
+        np.testing.assert_array_equal(r.read(idx), ref)
+        np.testing.assert_array_equal(
+            r.read(idx, tsel=slice(3, 14)), ref[..., 3:14, :]
+        )
+        # zero-copy view returns the same data
+        np.testing.assert_array_equal(
+            np.asarray(r.read(idx, tsel=slice(3, 14), copy=False)),
+            ref[..., 3:14, :],
+        )
+
+
+def test_raw_single_reader_matches_h5py(tmp_path):
+    import h5py
+
+    from dpot_tpu.data.generation import write_single
+
+    data = np.random.default_rng(0).standard_normal(
+        (6, 16, 16, 8, 2)
+    ).astype(np.float32)
+    p = str(tmp_path / "single.hdf5")
+    write_single(p, data)
+    r = RawSingleReader(p)
+    np.testing.assert_array_equal(r.read(3), data[3])
+    np.testing.assert_array_equal(r.read(5, tsel=slice(2, 7)), data[5, ..., 2:7, :])
+
+
+def test_raw_reader_falls_back_on_chunked(tmp_path):
+    """Chunked/compressed layouts (foreign corpora) must take the h5py
+    path and still read correctly."""
+    import h5py
+
+    data = np.arange(4 * 4 * 6 * 2, dtype=np.float32).reshape(4, 4, 6, 2)
+    p = tmp_path / "data_0.hdf5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("data", data=data, chunks=(2, 2, 3, 1),
+                         compression="gzip")
+    assert contiguous_layout(str(p)) is None
+    r = RawScatterReader(str(tmp_path))
+    np.testing.assert_array_equal(r.read(0), data)
+    np.testing.assert_array_equal(r.read(0, tsel=slice(1, 4)), data[..., 1:4, :])
+
+
+def test_fetch_into_matches_getitem(corpus):
+    """The zero-intermediate assembly path is bit-identical to
+    __getitem__ under the same rng — including the fallback (non-identity
+    resize) route."""
+    for res in (128, 64):  # 128 = fast path (identity), 64 = fallback
+        ds = MixedTemporalDataset(
+            "ingest_t", res=res, t_in=10, t_ar=1, n_channels=4, train=True
+        )
+        for idx in (0, 13, 40):
+            x, y, msk, cls = ds.__getitem__(idx, rng=np.random.default_rng(idx))
+            ox = np.empty_like(x)
+            oy = np.empty_like(y)
+            om = np.empty_like(msk)
+            c2 = ds.fetch_into(idx, ox, oy, om, np.random.default_rng(idx))
+            np.testing.assert_array_equal(ox, x)
+            np.testing.assert_array_equal(oy, y)
+            np.testing.assert_array_equal(om, msk)
+            assert c2 == cls
+
+
+def test_loader_fast_path_matches_generic(corpus):
+    """Loader output with fetch_into available == the generic stack path
+    (same seed, same epoch)."""
+    ds = MixedTemporalDataset(
+        "ingest_t", res=128, t_in=10, t_ar=1, n_channels=4, train=True
+    )
+
+    class NoInto:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __len__(self):
+            return len(self._inner)
+
+        def __getitem__(self, i, rng=None):
+            return self._inner.__getitem__(i, rng=rng)
+
+    fast = list(DataLoader(ds, batch_size=8, shuffle=True, num_workers=2,
+                           seed=3))
+    slow = list(DataLoader(NoInto(ds), batch_size=8, shuffle=True,
+                           num_workers=2, seed=3))
+    assert len(fast) == len(slow)
+    # batch 0 seeds the fast path's slot shapes (generic route both ways);
+    # later batches exercise fetch_into
+    for bf, bs in zip(fast, slow):
+        for a, b in zip(bf, bs):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_ingest_rate_exceeds_chip_consumption(corpus):
+    """The warm-cache serial ingest rate must beat DPOT-M's measured
+    sample consumption (~424 samples/s = 53 steps/s x B=8,
+    BENCH_LADDER_r02.jsonl) with >=1.2x margin on ONE core — the loader's
+    prefetch thread then overlaps this with the train step. DPOT-Ti
+    (~1512/s) additionally needs the time-major corpus layout; the bench
+    ladder's 'ingest' entry records both ratios
+    (x_dpot_m_consumption / x_dpot_ti_consumption)."""
+    ds = MixedTemporalDataset(
+        "ingest_t", res=128, t_in=10, t_ar=1, n_channels=4, train=True
+    )
+    B = 8
+    x = np.empty((B, 128, 128, 10, 4), np.float32)
+    y = np.empty((B, 128, 128, 1, 4), np.float32)
+    m = np.empty((B, 128, 128, 1, 4), np.float32)
+    rng = np.random.default_rng(0)
+    for i in range(48):  # warm the page cache
+        ds.fetch_into(i, x[i % B], y[i % B], m[i % B], rng)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(48):
+            ds.fetch_into(i, x[i % B], y[i % B], m[i % B], rng)
+        best = max(best, 48 / (time.perf_counter() - t0))
+    assert best >= 1.2 * 424, (
+        f"serial ingest {best:.0f} samples/s < 1.2x DPOT-M consumption "
+        "(509/s) — the input pipeline would starve the chip"
+    )
