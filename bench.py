@@ -234,6 +234,7 @@ LADDER = {
     # host-side: on-disk HDF5 ingest rate vs the chip's consumption
     # (SURVEY §7 hard part (d); no TPU involved)
     "ingest": lambda: bench_ingest(),
+    "ingest_tm": lambda: bench_ingest(time_major=True),
 }
 
 
@@ -295,7 +296,7 @@ def bench_inference_scan(
 
 
 def bench_ingest(n_files: int = 128, res: int = 128, batch: int = 8,
-                 epochs: int = 3) -> dict:
+                 epochs: int = 3, time_major: bool = False) -> dict:
     """On-disk HDF5 ingest rate: DataLoader end-to-end over a scatter
     corpus at the pretraining shape (res^2 x 21 x 4 f32, one trajectory
     per file — reference utils/griddataset.py:88-117 + DataLoader
@@ -310,13 +311,14 @@ def bench_ingest(n_files: int = 128, res: int = 128, batch: int = 8,
     from dpot_tpu.data.grid_dataset import MixedTemporalDataset
     from dpot_tpu.data.loader import DataLoader
 
-    name = f"ns2d_ingest_{res}"
+    name = f"ns2d_ingest_{res}" + ("_tm" if time_major else "")
     root = os.path.join(tempfile.gettempdir(), "dpot_ingest_corpus")
     marker = os.path.join(root, name, "train", f"data_{n_files - 1}.hdf5")
     if not os.path.exists(marker):
         generate_synthetic_corpus(
             root, name=name, n_train=n_files, n_test=2,
             in_size=(res, res), t_total=21, n_channels=4,
+            time_major=time_major,
         )
     os.environ["DPOT_DATA_ROOT"] = root
     from dpot_tpu.data.registry import DatasetSpec, register_dataset
@@ -342,9 +344,10 @@ def bench_ingest(n_files: int = 128, res: int = 128, batch: int = 8,
         best = max(best, rate)
     # consumption rates from the measured ladder (BENCH_LADDER jsonl):
     # DPOT-M B=8 ~53 steps/s -> ~424 samples/s; Ti ~189 -> ~1512
+    tag = "time-major layout, " if time_major else ""
     return {
         "metric": (
-            f"ingest samples/s (scatter HDF5 {res}^2x21x4, windowed "
+            f"ingest samples/s (scatter HDF5 {res}^2x21x4, {tag}windowed "
             f"memmap reads, B={batch}, warm cache)"
         ),
         "value": round(best, 1),

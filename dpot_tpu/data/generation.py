@@ -179,6 +179,7 @@ def generate_synthetic_corpus(
     in_size: Sequence[int] = (64, 64),
     t_total: int = 21,
     n_channels: int = 2,
+    time_major: bool = False,
 ) -> None:
     """Materialize a synthetic spec as an on-disk scatter dataset — lets the
     full HDF5 read path be exercised without a real corpus."""
@@ -195,11 +196,11 @@ def generate_synthetic_corpus(
     base = os.path.join(root, name)
     write_scatter(
         base, (_synthetic_sample(spec, True, i) for i in range(n_train)),
-        "train",
+        "train", time_major=time_major,
     )
     write_scatter(
         base, (_synthetic_sample(spec, False, i) for i in range(n_test)),
-        "test",
+        "test", time_major=time_major,
     )
     register_dataset(
         DatasetSpec(

@@ -131,6 +131,31 @@ class MixedTemporalDataset:
             else n_channels
         )
         self.readers = [_open_sample_reader(s, train) for s in self.specs]
+        # stored-layout probes: time-major corpora ((T, sp..., C) per
+        # trajectory, generation.write_scatter time_major=True) window as
+        # ONE contiguous memmap copy. When EVERY member dataset is
+        # time-major AND needs no per-item host transform, whole batches
+        # ship to the device time-major and the train step undoes the
+        # transpose there (~free on TPU vs ~1ms/sample of host strided
+        # copy) — `time_major_batches` drives the loader slot shapes and
+        # make_train_step(time_major=...). Callers may force it False
+        # (e.g. spatial sharding expects (B,H,W,T,C) host layout).
+        self._tmaj = [
+            bool(getattr(getattr(r, "__self__", None), "time_major", False))
+            for r in self.readers
+        ]
+        self.time_major_batches = (
+            train
+            and not normalize
+            and all(self._tmaj)
+            and all(
+                tuple(s.in_size) == (res, res)
+                and s.n_channels == self.n_channels
+                and tuple(s.downsample) == (1, 1)
+                and s.t_total >= t_in + t_ar
+                for s in self.specs
+            )
+        )
 
         self.normalize = normalize
         self.normalizers: list = []
@@ -139,11 +164,36 @@ class MixedTemporalDataset:
 
             for i, s in enumerate(self.specs):
                 n_fit = min(500, self.n_sizes[i])
-                samples = np.stack([self.readers[i](j) for j in range(n_fit)])
+                samples = np.stack([
+                    self._std_layout(self.readers[i](j), i) for j in range(n_fit)
+                ])
                 self.normalizers.append(UnitTransformer(samples))
+
+    def _std_layout(self, sample: np.ndarray, dataset_idx: int) -> np.ndarray:
+        """(T, spatial..., C) -> (spatial..., T, C) for time-major corpora
+        (time-major trajectories are always channeled — the writers
+        require it); pass-through otherwise."""
+        if self._tmaj[dataset_idx]:
+            return np.moveaxis(sample, 0, -2)
+        return sample
 
     def __len__(self) -> int:
         return int(self.cumulative_sizes[-1])
+
+    @property
+    def fast_item_shapes(self):
+        """Per-item slot shapes for the loader's preallocated batch
+        buffers, or None to let the loader learn them from the first
+        (generic-path) batch. Non-None only for time-major batches, whose
+        layout differs from what __getitem__ returns."""
+        if not getattr(self, "time_major_batches", False):
+            return None
+        c, r = self.n_channels, self.res
+        return (
+            (self.t_in, r, r, c),
+            (self.t_ar, r, r, c),
+            (r, r, 1, c),
+        )
 
     # -- reference pad_data (griddataset.py:88-101) --
     def pad_data(self, x: np.ndarray) -> np.ndarray:
@@ -185,7 +235,10 @@ class MixedTemporalDataset:
             start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
             win = slice(start, min(start + self.t_in + self.t_ar, spec.t_total))
             sample = np.asarray(
-                self.readers[dataset_idx](data_idx, tsel=win), dtype=np.float32
+                self._std_layout(
+                    self.readers[dataset_idx](data_idx, tsel=win), dataset_idx
+                ),
+                dtype=np.float32,
             )
             if sample.ndim == 3:  # augment channel dim
                 sample = sample[..., None]
@@ -194,7 +247,10 @@ class MixedTemporalDataset:
             y = sample[..., self.t_in :, :]
             msk = np.ones((*x.shape[:2], 1, x.shape[-1]), dtype=np.float32)
         else:
-            sample = np.asarray(self.readers[dataset_idx](data_idx), dtype=np.float32)
+            sample = np.asarray(
+                self._std_layout(self.readers[dataset_idx](data_idx), dataset_idx),
+                dtype=np.float32,
+            )
             if sample.ndim == 3:
                 sample = sample[..., None]
             orig_size = list(sample.shape)
@@ -239,7 +295,10 @@ class MixedTemporalDataset:
             and spec.n_channels == self.n_channels
             and spec.t_total >= self.t_in + self.t_ar
         )
-        if not fast:
+        tmaj_batch = getattr(self, "time_major_batches", False)
+        if not fast or (self._tmaj[dataset_idx] and not tmaj_batch):
+            # (a time-major item inside a standard-layout batch needs the
+            # host transpose — generic route)
             x, y, msk, cls = self.__getitem__(idx, rng=rng)
             np.copyto(out_x, x)
             np.copyto(out_y, y)
@@ -249,6 +308,14 @@ class MixedTemporalDataset:
         start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
         win = slice(start, start + self.t_in + self.t_ar)
         sample = self.readers[dataset_idx](data_idx, tsel=win, copy=False)
+        if tmaj_batch:
+            # slots are time-major (t, res, res, C): the window is ONE
+            # contiguous memmap range -> two sequential copies; the train
+            # step transposes on device (make_train_step time_major=True)
+            np.copyto(out_x, sample[: self.t_in])
+            np.copyto(out_y, sample[self.t_in :])
+            out_msk[...] = 1.0
+            return np.int32(dataset_idx)
         if sample.ndim == 3:
             sample = sample[..., None]
         np.copyto(out_x, sample[..., : self.t_in, :])
@@ -262,6 +329,12 @@ class MixedMaskedDataset(MixedTemporalDataset):
     the LAST input frame is blanked to -1 and the target is the unmasked
     window. Like the reference, this is capability surface — no entry
     script wires it in."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # the masked item layout routes through __getitem__ (standard
+        # layout) — never ship time-major batches
+        self.time_major_batches = False
 
     def get_masked_input(self, x: np.ndarray) -> np.ndarray:
         x_new = x.copy()
@@ -289,7 +362,10 @@ class MixedMaskedDataset(MixedTemporalDataset):
             start = int(rng.integers(hi))
             win = slice(start, min(start + self.t_in, spec.t_total))
             x = np.asarray(
-                self.readers[dataset_idx](data_idx, tsel=win), np.float32
+                self._std_layout(
+                    self.readers[dataset_idx](data_idx, tsel=win), dataset_idx
+                ),
+                np.float32,
             )
             if x.ndim == 3:
                 x = x[..., None]
@@ -297,7 +373,10 @@ class MixedMaskedDataset(MixedTemporalDataset):
             x_msk = self.get_masked_input(x)
             target_msk = np.ones((*x.shape[:2], 1, x.shape[-1]), np.float32)
         else:
-            sample = np.asarray(self.readers[dataset_idx](data_idx), dtype=np.float32)
+            sample = np.asarray(
+                self._std_layout(self.readers[dataset_idx](data_idx), dataset_idx),
+                dtype=np.float32,
+            )
             if sample.ndim == 3:
                 sample = sample[..., None]
             orig_size = list(sample.shape)
@@ -435,6 +514,54 @@ class TemporalDataset3D:
         )
         self.downsample = self.spec.downsample
         self.reader = _open_sample_reader(self.spec, train)
+        self._tmaj = bool(
+            getattr(getattr(self.reader, "__self__", None), "time_major", False)
+        )
+        # see MixedTemporalDataset: time-major 3D windows are enormous
+        # wins — a 128^3x(10+1)x5 window is 47MB/item, contiguous here vs
+        # ~23k strided runs in the (X,Y,Z,T,C) layout
+        self.time_major_batches = (
+            train
+            and self._tmaj
+            and tuple(self.spec.in_size) == (res, res, res)
+            and self.spec.n_channels == self.n_channels
+            and tuple(self.spec.downsample) == (1, 1, 1)
+            and self.spec.t_total >= t_in + t_ar
+        )
+
+    def _std_layout(self, sample: np.ndarray) -> np.ndarray:
+        if self._tmaj:
+            return np.moveaxis(sample, 0, -2)
+        return sample
+
+    @property
+    def fast_item_shapes(self):
+        if not self.time_major_batches:
+            return None
+        c, r = self.n_channels, self.res
+        return (
+            (self.t_in, r, r, r, c),
+            (self.t_ar, r, r, r, c),
+            (r, r, r, 1, c),
+        )
+
+    def fetch_into(self, idx: int, out_x, out_y, out_msk, rng) -> np.int32:
+        """Zero-intermediate assembly (see MixedTemporalDataset.fetch_into)."""
+        if not self.time_major_batches:
+            x, y, msk, cls = self.__getitem__(idx, rng=rng)
+            np.copyto(out_x, x)
+            np.copyto(out_y, y)
+            np.copyto(out_msk, msk)
+            return cls
+        rng = rng or np.random
+        hi = self.spec.t_total - (self.t_in + self.t_ar) + 1
+        start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
+        win = slice(start, start + self.t_in + self.t_ar)
+        sample = self.reader(idx, tsel=win, copy=False)
+        np.copyto(out_x, sample[: self.t_in])
+        np.copyto(out_y, sample[self.t_in :])
+        out_msk[...] = 1.0
+        return np.int32(0)
 
     def __len__(self) -> int:
         return int(self.n_size)
@@ -467,7 +594,9 @@ class TemporalDataset3D:
             hi = max(self.spec.t_total - (self.t_in + self.t_ar) + 1, 1)
             start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
             win = slice(start, min(start + self.t_in + self.t_ar, self.spec.t_total))
-            sample = np.asarray(self.reader(idx, tsel=win), dtype=np.float32)
+            sample = np.asarray(
+                self._std_layout(self.reader(idx, tsel=win)), dtype=np.float32
+            )
             if sample.ndim == 4:
                 sample = sample[..., None]
             sample = self.pad_data(sample)
@@ -475,7 +604,7 @@ class TemporalDataset3D:
             y = sample[..., self.t_in :, :]
             msk = np.ones((*x.shape[:3], 1, x.shape[-1]), dtype=np.float32)
         else:
-            sample = np.asarray(self.reader(idx), dtype=np.float32)
+            sample = np.asarray(self._std_layout(self.reader(idx)), dtype=np.float32)
             if sample.ndim == 4:
                 sample = sample[..., None]
             orig_size = list(sample.shape)

@@ -128,7 +128,11 @@ class DataLoader:
         # few-core host (SURVEY §7 hard part (d)). The first batch goes
         # through the generic stack path to learn the column shapes.
         use_into = callable(getattr(self.dataset, "fetch_into", None))
-        slot_shapes: list = []
+        # a dataset that ships time-major batches declares its slot shapes
+        # up front (they differ from __getitem__'s layout); otherwise the
+        # first generic batch teaches them
+        declared = getattr(self.dataset, "fast_item_shapes", None)
+        slot_shapes: list = list(declared) if (use_into and declared) else []
 
         def fetch_batch_into(pool, batch_ids, base):
             n = len(batch_ids)

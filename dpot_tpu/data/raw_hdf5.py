@@ -66,6 +66,7 @@ class RawScatterReader:
         self.root = root
         self.field = field
         self._layout = -1  # unprobed sentinel (None = probed, unusable)
+        self._probe_size = -1  # byte size of the probed file
         self._time_major: Optional[bool] = None
 
     def _path(self, idx: int) -> str:
@@ -87,17 +88,23 @@ class RawScatterReader:
         mutate the result."""
         if self._layout == -1:
             self._layout = contiguous_layout(self._path(idx), self.field)
+            if self._layout is not None:
+                self._probe_size = os.path.getsize(self._path(idx))
         tmaj = self.time_major
         lay = self._layout
         path = self._path(idx)
         if lay is not None:
             off, shape, dtype = lay
             nbytes = int(np.prod(shape)) * dtype.itemsize
-            # exact-size check: our writer puts the data block last, so a
-            # same-shape file ends exactly at off + nbytes; anything else
-            # (foreign writer, trailing metadata, shorter trajectory) takes
-            # the safe path
-            if os.path.getsize(path) == off + nbytes:
+            # size check: the probed file's own header gave (off, shape);
+            # any sibling file of EXACTLY the probed byte size was written
+            # identically (same writer, same shape) and is safe to memmap
+            # with that layout. A different size (foreign writer, shorter
+            # trajectory, variable shapes) takes the h5py path.
+            if (
+                self._probe_size >= off + nbytes
+                and os.path.getsize(path) == self._probe_size
+            ):
                 m = np.memmap(path, dtype=dtype, mode="r", offset=off,
                               shape=shape)
                 w = _window(m, tsel, tmaj)

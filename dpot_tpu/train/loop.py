@@ -157,7 +157,17 @@ def train(
         writer.text(f"warm-started params from {cfg.init_from}")
 
     state = replicate(state, mesh)
-    step_fn = make_train_step(t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale)
+    # time-major corpora ship train batches as (B, T, spatial..., C) and
+    # the step transposes on device (ingest fast path). Spatial sharding
+    # expects the standard host layout — force it off there.
+    time_major = bool(getattr(train_ds, "time_major_batches", False))
+    if time_major and cfg.mesh_spatial > 1:
+        train_ds.time_major_batches = False
+        time_major = False
+    step_fn = make_train_step(
+        t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale,
+        time_major=time_major,
+    )
     roll_fn = make_eval_rollout(t_bundle=cfg.T_bundle)
 
     if jax.process_count() > 1:
@@ -244,7 +254,8 @@ def train(
                 spatial_sharded=cfg.mesh_spatial > 1,
             )
             state, aux = step_fn(state, batch)
-            steps_per_sample = y.shape[-2] / cfg.T_bundle
+            t_ar_axis = 1 if time_major else y.ndim - 2
+            steps_per_sample = y.shape[t_ar_axis] / cfg.T_bundle
             it += 1
             drain(pending)
             if (

@@ -41,6 +41,7 @@ def make_train_step(
     t_bundle: int = 1,
     noise_scale: float = 0.0,
     donate: bool = True,
+    time_major: bool = False,
 ) -> Callable[[TrainState, dict[str, jax.Array]], tuple[TrainState, dict]]:
     """Build a jitted train step.
 
@@ -48,10 +49,19 @@ def make_train_step(
     cls=(B,)). The number of rollout steps T_ar // t_bundle is static, so
     the rollout unrolls inside jit exactly like the reference's Python loop
     unrolls in autograd.
+
+    time_major=True accepts x=(B,T_in,spatial...,C) / y=(B,T_ar,spatial...,C)
+    — the ingest fast path's layout (time-major corpora window as one
+    contiguous host copy, data/grid_dataset.py fetch_into) — and undoes
+    the transpose HERE, on device, where XLA fuses it into the first
+    consumer (msk stays (B,spatial...,1,C)).
     """
 
     def loss_fn(params, apply_fn, batch, rng):
         x, y, msk, cls = batch["x"], batch["y"], batch["msk"], batch["cls"]
+        if time_major:
+            x = jnp.moveaxis(x, 1, -2)
+            y = jnp.moveaxis(y, 1, -2)
         t_ar = y.shape[-2]
         n_steps = max(t_ar // t_bundle, 1)
 

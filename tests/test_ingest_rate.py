@@ -140,6 +140,179 @@ def test_loader_fast_path_matches_generic(corpus):
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.fixture(scope="module")
+def tm_corpus(tmp_path_factory):
+    """The SAME synthetic trajectories as `corpus` (same dataset name →
+    same per-index seeds) written in the time-major layout."""
+    root = str(tmp_path_factory.mktemp("ingest_tm"))
+    generate_synthetic_corpus(
+        root, name="ingest_t", n_train=48, n_test=4,
+        in_size=(128, 128), t_total=21, n_channels=4, time_major=True,
+    )
+    return root
+
+
+def _with_root(root):
+    old = os.environ.get("DPOT_DATA_ROOT")
+    os.environ["DPOT_DATA_ROOT"] = root
+    return old
+
+
+def _restore_root(old):
+    if old is None:
+        os.environ.pop("DPOT_DATA_ROOT", None)
+    else:
+        os.environ["DPOT_DATA_ROOT"] = old
+
+
+def test_time_major_corpus_roundtrip(corpus, tm_corpus):
+    """Time-major files store the transposed trajectory, are tagged, and
+    the reader windows the leading axis — data identical to the standard
+    layout after the transpose."""
+    from dpot_tpu.data.raw_hdf5 import is_time_major
+
+    std = RawScatterReader(os.path.join(corpus, "ingest_t", "train"))
+    tmp = os.path.join(tm_corpus, "ingest_t", "train")
+    assert is_time_major(os.path.join(tmp, "data_0.hdf5"))
+    tm = RawScatterReader(tmp)
+    assert tm.time_major and not std.time_major
+    for idx in (0, 11):
+        ref = std.read(idx)  # (X, Y, T, C)
+        np.testing.assert_array_equal(
+            np.moveaxis(tm.read(idx), 0, -2), ref
+        )
+        np.testing.assert_array_equal(
+            tm.read(idx, tsel=slice(2, 13)),
+            np.moveaxis(ref[..., 2:13, :], -2, 0),
+        )
+
+
+def test_time_major_dataset_matches_standard(corpus, tm_corpus):
+    """MixedTemporalDataset over a time-major corpus: __getitem__ returns
+    the standard layout (host transpose), fetch_into ships time-major
+    slots, and both agree with the standard-corpus dataset item-for-item
+    (train AND test modes)."""
+    old = _with_root(corpus)
+    try:
+        std_tr = MixedTemporalDataset("ingest_t", res=128, t_in=10, t_ar=1,
+                                      n_channels=4, train=True)
+        std_te = MixedTemporalDataset("ingest_t", res=128, t_in=10, t_ar=1,
+                                      n_channels=4, train=False)
+        _with_root(tm_corpus)
+        tm_tr = MixedTemporalDataset("ingest_t", res=128, t_in=10, t_ar=1,
+                                     n_channels=4, train=True)
+        tm_te = MixedTemporalDataset("ingest_t", res=128, t_in=10, t_ar=1,
+                                     n_channels=4, train=False)
+    finally:
+        _restore_root(old)
+    assert tm_tr.time_major_batches and not std_tr.time_major_batches
+    assert not tm_te.time_major_batches  # eval stays standard-layout
+
+    for idx in (0, 17):
+        xs, ys, ms, cs = std_tr.__getitem__(idx, rng=np.random.default_rng(idx))
+        xt, yt, mt, ct = tm_tr.__getitem__(idx, rng=np.random.default_rng(idx))
+        np.testing.assert_allclose(xt, xs, atol=1e-6)
+        np.testing.assert_allclose(yt, ys, atol=1e-6)
+        # fetch_into: time-major slots, transpose matches the std item
+        tin, tar = 10, 1
+        ox = np.empty((tin, 128, 128, 4), np.float32)
+        oy = np.empty((tar, 128, 128, 4), np.float32)
+        om = np.empty((128, 128, 1, 4), np.float32)
+        tm_tr.fetch_into(idx, ox, oy, om, np.random.default_rng(idx))
+        np.testing.assert_allclose(np.moveaxis(ox, 0, -2), xs, atol=1e-6)
+        np.testing.assert_allclose(np.moveaxis(oy, 0, -2), ys, atol=1e-6)
+        # test mode: identical standard-layout items either way
+        xs, ys, _, _ = std_te.__getitem__(idx % 4)
+        xt, yt, _, _ = tm_te.__getitem__(idx % 4)
+        np.testing.assert_allclose(xt, xs, atol=1e-6)
+        np.testing.assert_allclose(yt, ys, atol=1e-6)
+
+
+def test_time_major_train_step_equivalence(corpus, tm_corpus):
+    """A jitted train step consuming time-major batches produces the SAME
+    loss and gradients-updated params as the standard-layout step on the
+    same data (the device-side moveaxis is exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpot_tpu.data.loader import DataLoader
+    from dpot_tpu.models import build_model
+    from dpot_tpu.train.optimizers import build_optimizer
+    from dpot_tpu.train.state import TrainState
+    from dpot_tpu.train.step import make_train_step
+
+    def batches(root):
+        old = _with_root(root)
+        try:
+            ds = MixedTemporalDataset("ingest_t", res=128, t_in=10, t_ar=1,
+                                      n_channels=4, train=True)
+            dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                            seed=7)
+            return ds, [next(iter(dl))]
+        finally:
+            _restore_root(old)
+
+    std_ds, std_b = batches(corpus)
+    tm_ds, tm_b = batches(tm_corpus)
+    assert tm_ds.time_major_batches
+    (xs, ys, mss, cs), (xt, yt, mst, ct) = std_b[0], tm_b[0]
+    assert xt.shape == (4, 10, 128, 128, 4)  # time-major ships (B,T,H,W,C)
+    np.testing.assert_allclose(np.moveaxis(xt, 1, -2), xs, atol=1e-6)
+
+    model = build_model(
+        "DPOT", img_size=128, patch_size=16, in_channels=4, in_timesteps=10,
+        out_timesteps=1, embed_dim=32, depth=1, n_blocks=4, modes=4, n_cls=1,
+    )
+    params = model.init(jax.random.key(0), jnp.asarray(xs))
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+
+    def run(step, x, y, msk, cls):
+        state = TrainState.create(model.apply, params, tx, jax.random.key(1))
+        state, aux = step(state, {
+            "x": jnp.asarray(x), "y": jnp.asarray(y),
+            "msk": jnp.asarray(msk), "cls": jnp.asarray(cls),
+        })
+        return float(jnp.reshape(aux["loss_step"], ()))
+
+    l_std = run(make_train_step(t_bundle=1, noise_scale=0.0, donate=False),
+                xs, ys, mss, cs)
+    l_tm = run(
+        make_train_step(t_bundle=1, noise_scale=0.0, donate=False,
+                        time_major=True),
+        xt, yt, mst, ct,
+    )
+    assert abs(l_std - l_tm) < 1e-5, (l_std, l_tm)
+
+
+def test_time_major_is_faster(corpus, tm_corpus):
+    """The contiguous time-major window copy must beat the strided
+    T-inner one (measured ~2.3x; asserted loosely for CI robustness)."""
+    def rate(root):
+        old = _with_root(root)
+        try:
+            ds = MixedTemporalDataset("ingest_t", res=128, t_in=10, t_ar=1,
+                                      n_channels=4, train=True)
+        finally:
+            _restore_root(old)
+        shapes = ds.fast_item_shapes or (
+            (128, 128, 10, 4), (128, 128, 1, 4), (128, 128, 1, 4)
+        )
+        x, y, m = (np.empty(s, np.float32) for s in shapes)
+        rng = np.random.default_rng(0)
+        for i in range(48):
+            ds.fetch_into(i, x, y, m, rng)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(48):
+                ds.fetch_into(i, x, y, m, rng)
+            best = max(best, 48 / (time.perf_counter() - t0))
+        return best
+
+    r_tm, r_std = rate(tm_corpus), rate(corpus)
+    assert r_tm > r_std, (r_tm, r_std)
+
+
 def test_ingest_rate_exceeds_chip_consumption(corpus):
     """The warm-cache serial ingest rate must beat DPOT-M's measured
     sample consumption (~424 samples/s = 53 steps/s x B=8,
