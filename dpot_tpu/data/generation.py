@@ -50,6 +50,11 @@ def write_scatter(
     for i, traj in enumerate(trajectories):
         traj = np.asarray(traj, np.float32)
         if time_major:
+            assert traj.ndim >= 4, (
+                "time_major requires channeled (spatial..., T, C) "
+                f"trajectories, got shape {traj.shape} — add a trailing "
+                "channel axis first"
+            )
             traj = np.ascontiguousarray(np.moveaxis(traj, -2, 0))
         with h5py.File(os.path.join(out, f"data_{i}.hdf5"), "w") as f:
             d = f.create_dataset("data", data=traj, compression=None)
@@ -139,9 +144,11 @@ def convert_pdebench(
     kind: str = "ns2d",
     n_train: Optional[int] = None,
     n_test: Optional[int] = None,
+    time_major: bool = False,
 ) -> tuple[int, int]:
     """End-to-end converter: raw PDEBench HDF5 -> scatter protocol
-    (reference process_pdebench_data, preprocess.py:58-126)."""
+    (reference process_pdebench_data, preprocess.py:58-126).
+    time_major=True emits the ingest-fast layout (see write_scatter)."""
     import h5py
 
     stacker = {
@@ -157,8 +164,10 @@ def convert_pdebench(
         train_ids = train_ids[:n_train]
     if n_test is not None:
         test_ids = test_ids[:n_test]
-    nt = write_scatter(dst_root, (data[i] for i in train_ids), "train")
-    nv = write_scatter(dst_root, (data[i] for i in test_ids), "test")
+    nt = write_scatter(dst_root, (data[i] for i in train_ids), "train",
+                       time_major=time_major)
+    nv = write_scatter(dst_root, (data[i] for i in test_ids), "test",
+                       time_major=time_major)
     return nt, nv
 
 

@@ -115,6 +115,10 @@ class MixedTemporalDataset:
         self.t_in = t_in
         self.t_ar = t_ar
         self.train = train
+        # every train-mode mask in this data layer is all-ones (test-mode
+        # masks subsample resolution / zero padded channels) — lets the
+        # train loop skip the msk H2D transfer (make_train_step ones_mask)
+        self.train_masks_are_ones = bool(train)
         self.res = res
         self.n_sizes = (
             list(n_list)
@@ -413,6 +417,10 @@ class SteadyDataset2D:
             else (self.spec.train_size if train else self.spec.test_size)
         )
         self.train = train
+        # every train-mode mask in this data layer is all-ones (test-mode
+        # masks subsample resolution / zero padded channels) — lets the
+        # train loop skip the msk H2D transfer (make_train_step ones_mask)
+        self.train_masks_are_ones = bool(train)
         self.res = res
         self.n_channels = (
             self.spec.n_channels if n_channels is None else n_channels
@@ -505,6 +513,10 @@ class TemporalDataset3D:
             else (self.spec.train_size if train else self.spec.test_size)
         )
         self.train = train
+        # every train-mode mask in this data layer is all-ones (test-mode
+        # masks subsample resolution / zero padded channels) — lets the
+        # train loop skip the msk H2D transfer (make_train_step ones_mask)
+        self.train_masks_are_ones = bool(train)
         self.res = res
         self.t_in = t_in
         self.t_ar = t_ar

@@ -94,6 +94,12 @@ def evaluate(
             out = roll(apply_fn, params, batch)
             f_val = _fetch(out["loss_full"])  # fences the device
             total_time += time.perf_counter() - t0
+            # the final per-dataset normalization divides by the LAST
+            # batch's rollout length (t_test is constant per dataset);
+            # assert the invariant rather than trust it silently
+            assert n_batches == 0 or n_steps_per_traj == max(
+                y.shape[-2] / t_bundle, 1
+            ), f"{path}: eval batches mix rollout lengths"
             n_steps_per_traj = max(y.shape[-2] / t_bundle, 1)
             total_steps += int(x.shape[0] * n_steps_per_traj)
             s_sum += _fetch(out["loss_step"])

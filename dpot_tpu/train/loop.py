@@ -164,9 +164,20 @@ def train(
     if time_major and cfg.mesh_spatial > 1:
         train_ds.time_major_batches = False
         time_major = False
+    # wire-format savings (H2D bytes are a first-order cost when the chip
+    # is remote or the host feeds many chips): ship x in bf16 when the
+    # compute dtype is bf16 anyway (the model's first matmul casts), and
+    # skip the msk transfer entirely when the dataset declares train
+    # masks all-ones (loss runs unmasked — bit-identical)
+    wire = cfg.wire_dtype
+    if wire == "auto":
+        wire = "bfloat16_x" if cfg.dtype == "bfloat16" else "float32"
+    wire_x = jnp.bfloat16 if wire.startswith("bfloat16") else None
+    wire_y = jnp.bfloat16 if wire == "bfloat16" else None
+    ones_mask = bool(getattr(train_ds, "train_masks_are_ones", False))
     step_fn = make_train_step(
         t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale,
-        time_major=time_major,
+        time_major=time_major, ones_mask=ones_mask,
     )
     roll_fn = make_eval_rollout(t_bundle=cfg.T_bundle)
 
@@ -249,10 +260,14 @@ def train(
         for x, y, msk, cls in train_dl:
             t_load += time.perf_counter() - t_1
             t_1 = time.perf_counter()
-            batch = place(
-                {"x": x, "y": y, "msk": msk, "cls": cls},
-                spatial_sharded=cfg.mesh_spatial > 1,
-            )
+            host_batch = {"x": x, "y": y, "msk": msk, "cls": cls}
+            if ones_mask:
+                del host_batch["msk"]
+            if wire_x is not None:
+                host_batch["x"] = np.asarray(x).astype(wire_x)
+            if wire_y is not None:
+                host_batch["y"] = np.asarray(y).astype(wire_y)
+            batch = place(host_batch, spatial_sharded=cfg.mesh_spatial > 1)
             state, aux = step_fn(state, batch)
             t_ar_axis = 1 if time_major else y.ndim - 2
             steps_per_sample = y.shape[t_ar_axis] / cfg.T_bundle
@@ -279,7 +294,18 @@ def train(
         for di, dl in enumerate(test_dls):
             s_sum = f_sum = 0.0
             n_seen = 0
+            t_y = None
             for x, y, msk, _ in dl:
+                # per-dataset normalization below divides by the LAST
+                # batch's rollout length — sound only while every batch of
+                # a test dataset shares t_test (true today: t_test is a
+                # per-dataset constant); keep that invariant loud
+                assert t_y in (None, y.shape[-2]), (
+                    f"eval batches of {cfg.test_paths[di]} mix rollout "
+                    f"lengths {t_y} vs {y.shape[-2]} — loss normalization "
+                    "would silently skew"
+                )
+                t_y = y.shape[-2]
                 out = roll_fn(
                     model.apply, host_params,
                     place({"x": x, "y": y, "msk": msk}),

@@ -42,6 +42,7 @@ def make_train_step(
     noise_scale: float = 0.0,
     donate: bool = True,
     time_major: bool = False,
+    ones_mask: bool = False,
 ) -> Callable[[TrainState, dict[str, jax.Array]], tuple[TrainState, dict]]:
     """Build a jitted train step.
 
@@ -55,10 +56,17 @@ def make_train_step(
     contiguous host copy, data/grid_dataset.py fetch_into) — and undoes
     the transpose HERE, on device, where XLA fuses it into the first
     consumer (msk stays (B,spatial...,1,C)).
+
+    ones_mask=True declares the train masks all-ones (true for every
+    train-mode dataset in the data layer; datasets advertise it via
+    `train_masks_are_ones`): the batch then needs NO 'msk' entry and the
+    loss runs unmasked — bit-identical result, one fewer H2D transfer
+    (the mask is B*H*W*C floats of pure ones otherwise).
     """
 
     def loss_fn(params, apply_fn, batch, rng):
-        x, y, msk, cls = batch["x"], batch["y"], batch["msk"], batch["cls"]
+        x, y, cls = batch["x"], batch["y"], batch["cls"]
+        msk = None if ones_mask else batch["msk"]
         if time_major:
             x = jnp.moveaxis(x, 1, -2)
             y = jnp.moveaxis(y, 1, -2)

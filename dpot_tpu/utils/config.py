@@ -78,6 +78,12 @@ class TrainConfig:
     n_channels: int = 4  # model input channels when no dataset infers them
                          # (serve CLI; training derives it from the mixture)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    # host->device wire format for the train inputs x (auto = bfloat16
+    # when the compute dtype is bfloat16): the model casts x to the
+    # compute dtype at the first matmul anyway, so shipping bf16 halves
+    # the per-step H2D bytes. 'bfloat16' additionally casts y (cheaper
+    # wire, slightly coarser loss denominators); 'float32' forces exact.
+    wire_dtype: str = "auto"  # auto | float32 | bfloat16
     remat: bool = False
     mesh_data: Optional[int] = None  # None = all devices
     mesh_spatial: int = 1

@@ -313,6 +313,53 @@ def test_time_major_is_faster(corpus, tm_corpus):
     assert r_tm > r_std, (r_tm, r_std)
 
 
+def test_time_major_3d_dataset(tmp_path):
+    """TemporalDataset3D over both layouts: items agree, fetch_into ships
+    time-major slots whose transpose matches the standard item."""
+    from dpot_tpu.data.grid_dataset import TemporalDataset3D
+
+    roots = {}
+    for tm in (False, True):
+        root = str(tmp_path / ("tm" if tm else "std"))
+        generate_synthetic_corpus(
+            root, name="ing3d", n_train=6, n_test=2,
+            in_size=(12, 12, 12), t_total=14, n_channels=3, time_major=tm,
+        )
+        roots[tm] = root
+
+    def make(tm, train=True):
+        old = _with_root(roots[tm])
+        try:
+            return TemporalDataset3D("ing3d", res=12, t_in=6, t_ar=1,
+                                     n_channels=3, train=train)
+        finally:
+            _restore_root(old)
+
+    std, tmd = make(False), make(True)
+    assert tmd.time_major_batches and not std.time_major_batches
+    assert tmd.fast_item_shapes == (
+        (6, 12, 12, 12, 3), (1, 12, 12, 12, 3), (12, 12, 12, 1, 3)
+    )
+    for idx in (0, 4):
+        xs, ys, ms, _ = std.__getitem__(idx, rng=np.random.default_rng(idx))
+        xt, yt, mt, _ = tmd.__getitem__(idx, rng=np.random.default_rng(idx))
+        np.testing.assert_allclose(xt, xs, atol=1e-6)
+        np.testing.assert_allclose(yt, ys, atol=1e-6)
+        ox = np.empty((6, 12, 12, 12, 3), np.float32)
+        oy = np.empty((1, 12, 12, 12, 3), np.float32)
+        om = np.empty((12, 12, 12, 1, 3), np.float32)
+        tmd.fetch_into(idx, ox, oy, om, np.random.default_rng(idx))
+        np.testing.assert_allclose(np.moveaxis(ox, 0, -2), xs, atol=1e-6)
+        np.testing.assert_allclose(np.moveaxis(oy, 0, -2), ys, atol=1e-6)
+        np.testing.assert_array_equal(om, np.ones_like(om))
+    # test mode reads the full trajectory through the host transpose
+    s_te, t_te = make(False, train=False), make(True, train=False)
+    xs, ys, _, _ = s_te[0]
+    xt, yt, _, _ = t_te[0]
+    np.testing.assert_allclose(xt, xs, atol=1e-6)
+    np.testing.assert_allclose(yt, ys, atol=1e-6)
+
+
 def test_ingest_rate_exceeds_chip_consumption(corpus):
     """The warm-cache serial ingest rate must beat DPOT-M's measured
     sample consumption (~424 samples/s = 53 steps/s x B=8,

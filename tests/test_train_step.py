@@ -61,6 +61,37 @@ def test_train_step_noise_injection_runs():
     assert np.isfinite(float(aux["grad_norm"]))
 
 
+def test_ones_mask_elision_is_exact():
+    """make_train_step(ones_mask=True) with NO msk in the batch produces
+    the identical loss/update as the masked step over all-ones masks (the
+    wire-format optimization must be a pure transfer saving)."""
+    model, params, batch = tiny_model_and_batch()
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+
+    def run(step, b):
+        state = TrainState.create(model.apply, params, tx, jax.random.key(1))
+        state, aux = step(state, b)
+        return float(aux["loss_step"]), state
+
+    l_m, s_m = run(make_train_step(t_bundle=1, noise_scale=0.0, donate=False), batch)
+    b2 = {k: v for k, v in batch.items() if k != "msk"}
+    l_o, s_o = run(
+        make_train_step(t_bundle=1, noise_scale=0.0, donate=False,
+                        ones_mask=True),
+        b2,
+    )
+    assert l_m == l_o
+    # the two steps are mathematically identical but compile to different
+    # HLO (mask multiply fused vs absent) — reductions may round in a
+    # different order, and adam's mhat/sqrt(vhat) normalization amplifies
+    # that ulp noise on near-zero gradients; compare updates to 1e-4
+    # relative (vs lr=1e-3-scale updates), not bits
+    for a, b in zip(jax.tree.leaves(s_m.params), jax.tree.leaves(s_o.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_eval_rollout_shapes():
     model, params, batch = tiny_model_and_batch(T_ar=5)
     roll = make_eval_rollout(t_bundle=1)
