@@ -1,46 +1,44 @@
-"""Serving CLI: load a checkpoint and serve autoregressive rollouts.
+"""Serving CLI: load checkpoint(s) and serve autoregressive rollouts.
+
+Single model:
 
     python -m dpot_tpu.cli.serve --model DPOT --resume_path ckpt/Ti \
         --res 128 --width 512 --n_layers 4 --port 8476
 
-Endpoints (dpot_tpu/serve/server.py): GET /healthz, POST /rollout?steps=N
-with a .npy (B, H, W, T_in, C) body -> .npy (B, H, W, N*T_bundle, C)
-prediction (steps = model applications; each emits T_bundle frames).
-The reference has no serving path; this is the deployment surface of the
-rebuild (SURVEY.md §6 inference-latency harness, made into a service).
+Multi-model (one process, one device, N models; requests route by
+`?model=name`):
+
+    python -m dpot_tpu.cli.serve --models fleet.yaml --port 8476
+
+where fleet.yaml is
+    default: ti
+    models:
+      ti: {model: DPOT, res: 128, width: 512, n_layers: 4,
+           resume_path: ckpt/Ti}
+      s:  {model: DPOT, res: 128, width: 1024, n_layers: 6,
+           resume_path: ckpt/S}
+(each entry takes any TrainConfig field).
+
+Endpoints (dpot_tpu/serve/server.py): GET /healthz, GET /metrics,
+POST /rollout?steps=N[&model=NAME] with a .npy (B, H, W, T_in, C) body ->
+.npy (B, H, W, N*T_bundle, C) prediction (steps = model applications; each
+emits T_bundle frames). The reference has no serving path; this is the
+deployment surface of the rebuild (SURVEY.md §6 inference-latency harness,
+made into a service).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 
 
-def main(argv=None):
-    sys.path.insert(0, ".")
+def _build_served(cfg):
+    """Build (model, params) for one TrainConfig, restoring its checkpoint."""
     import jax
     import jax.numpy as jnp
 
     from dpot_tpu.models import build_model
-    from dpot_tpu.serve import serve
-    from dpot_tpu.utils.config import load_config
-
-    argv = list(argv if argv is not None else sys.argv[1:])
-
-    def take(flag, default, cast=str):
-        if flag in argv:
-            i = argv.index(flag)
-            v = cast(argv[i + 1])
-            del argv[i : i + 2]
-            return v
-        return default
-
-    host = take("--host", "127.0.0.1")
-    port = take("--port", 8476, int)
-    auth_token = take("--auth_token", None)
-    max_steps = take("--max_steps", 64, int)
-    ssl_certfile = take("--ssl_certfile", None)
-    ssl_keyfile = take("--ssl_keyfile", None)
-    cfg = load_config(argv)
 
     model = build_model(
         cfg.model, img_size=cfg.res, patch_size=cfg.patch_size,
@@ -59,15 +57,71 @@ def main(argv=None):
         from dpot_tpu.train.checkpoint import restore_params
 
         params = restore_params(cfg.resume_path, params)
+    return model, params
 
-    httpd, rs = serve(
-        model, params, host=host, port=port, t_bundle=cfg.T_bundle,
-        auth_token=auth_token, max_steps=max_steps,
-        ssl_certfile=ssl_certfile, ssl_keyfile=ssl_keyfile,
-    )
+
+def main(argv=None):
+    sys.path.insert(0, ".")
+
+    from dpot_tpu.utils.config import TrainConfig, load_config
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+
+    def take(flag, default, cast=str):
+        if flag in argv:
+            i = argv.index(flag)
+            v = cast(argv[i + 1])
+            del argv[i : i + 2]
+            return v
+        return default
+
+    host = take("--host", "127.0.0.1")
+    port = take("--port", 8476, int)
+    auth_token = take("--auth_token", None)
+    max_steps = take("--max_steps", 64, int)
+    ssl_certfile = take("--ssl_certfile", None)
+    ssl_keyfile = take("--ssl_keyfile", None)
+    models_yaml = take("--models", None)
+
+    if models_yaml:
+        import yaml
+
+        from dpot_tpu.serve import RolloutServer, serve_multi
+
+        with open(models_yaml) as f:
+            spec = yaml.safe_load(f)
+        fields = {f.name for f in dataclasses.fields(TrainConfig)}
+        servers = {}
+        for name, entry in spec["models"].items():
+            cfg = TrainConfig(
+                **{k: v for k, v in entry.items() if k in fields}
+            )
+            model, params = _build_served(cfg)
+            servers[name] = RolloutServer(
+                model, params, t_bundle=cfg.T_bundle, max_steps=max_steps
+            )
+        httpd, router = serve_multi(
+            servers, default=spec.get("default"), auth_token=auth_token,
+            host=host, port=port, ssl_certfile=ssl_certfile,
+            ssl_keyfile=ssl_keyfile,
+        )
+        rs = router
+        desc = (f"{len(servers)} models ({', '.join(sorted(servers))}; "
+                f"default={router.default})")
+    else:
+        from dpot_tpu.serve import serve
+
+        cfg = load_config(argv)
+        model, params = _build_served(cfg)
+        httpd, rs = serve(
+            model, params, host=host, port=port, t_bundle=cfg.T_bundle,
+            auth_token=auth_token, max_steps=max_steps,
+            ssl_certfile=ssl_certfile, ssl_keyfile=ssl_keyfile,
+        )
+        desc = f"{cfg.model} ({rs.n_params/1e6:.1f}M params)"
+
     scheme = "https" if ssl_certfile else "http"
-    print(f"serving {cfg.model} ({rs.n_params/1e6:.1f}M params) "
-          f"on {scheme}://{host}:{port}"
+    print(f"serving {desc} on {scheme}://{host}:{port}"
           + (" [auth required]" if auth_token else ""), flush=True)
 
     import signal

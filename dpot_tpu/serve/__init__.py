@@ -1,3 +1,8 @@
-from dpot_tpu.serve.server import RolloutServer, serve
+from dpot_tpu.serve.server import (
+    ModelRouter,
+    RolloutServer,
+    serve,
+    serve_multi,
+)
 
-__all__ = ["RolloutServer", "serve"]
+__all__ = ["ModelRouter", "RolloutServer", "serve", "serve_multi"]

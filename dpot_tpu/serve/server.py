@@ -23,6 +23,9 @@ Endpoints:
                               — steps counts MODEL APPLICATIONS; each one
                               emits t_bundle frames (t_bundle=1 default,
                               so usually N frames)
+  POST /rollout?model=NAME&steps=N — multi-model deployments (serve_multi /
+                              ModelRouter) route by name; unnamed requests
+                              hit the configured default model
 
 Hardening (VERDICT r2 weak #6):
 - optional bearer-token auth (`auth_token`): /rollout and /metrics require
@@ -293,6 +296,12 @@ class RolloutServer:
         finally:
             self._record_latency((time.perf_counter() - t0) * 1e3)
 
+    def resolve(self, name: str) -> "Optional[RolloutServer]":
+        """Routing hook shared with ModelRouter: a single-model server only
+        serves unnamed requests — `?model=x` against it is a 404, not a
+        silent wrong-model answer."""
+        return self if not name else None
+
     def health(self) -> dict:
         return {
             "ok": True,
@@ -328,7 +337,62 @@ class RolloutServer:
         return out
 
 
-def _make_handler(server: RolloutServer):
+class ModelRouter:
+    """Routes requests across named RolloutServers (multi-model serving:
+    one process, one device, N models — the device serializes their
+    batches anyway, so each model keeps its own queue/worker/buckets and
+    the router only dispatches). `default` serves requests that don't
+    name a model, which keeps the single-model API unchanged."""
+
+    def __init__(
+        self,
+        servers: dict[str, RolloutServer],
+        default: Optional[str] = None,
+        auth_token: Optional[str] = None,
+    ):
+        if not servers:
+            raise ValueError("ModelRouter needs at least one model")
+        self.servers = dict(servers)
+        self.default = default if default is not None else next(iter(servers))
+        if self.default not in self.servers:
+            raise ValueError(
+                f"default model {self.default!r} not in {sorted(servers)}"
+            )
+        self.auth_token = auth_token
+        # handler-level caps use the loosest member so routing never
+        # rejects a request its target would have accepted
+        self.max_body_bytes = max(s.max_body_bytes for s in servers.values())
+        self._auth_failures = 0
+
+    def resolve(self, name: str) -> Optional[RolloutServer]:
+        return self.servers.get(name or self.default)
+
+    def start(self) -> None:
+        for s in self.servers.values():
+            s.start()
+
+    def stop(self, drain: bool = False) -> None:
+        for s in self.servers.values():
+            s.stop(drain=drain)
+
+    def _count(self, **deltas) -> None:
+        # auth failures happen before routing; keep a router-level count
+        self._auth_failures += deltas.get("auth_failures", 0)
+
+    def health(self) -> dict:
+        return {
+            "ok": True,
+            "models": {n: s.health() for n, s in self.servers.items()},
+            "default": self.default,
+        }
+
+    def metrics(self) -> dict:
+        out = {n: s.metrics() for n, s in self.servers.items()}
+        out["auth_failures_unrouted"] = self._auth_failures
+        return out
+
+
+def _make_handler(server: "RolloutServer | ModelRouter"):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -373,6 +437,11 @@ def _make_handler(server: RolloutServer):
             try:
                 q = urllib.parse.parse_qs(url.query)
                 steps = int(q.get("steps", ["1"])[0])
+                mname = q.get("model", [""])[0]
+                target = server.resolve(mname)
+                if target is None:
+                    self._json(404, {"error": f"unknown model {mname!r}"})
+                    return
                 n = int(self.headers.get("Content-Length", "0"))
                 if n > server.max_body_bytes:
                     self._json(
@@ -382,7 +451,7 @@ def _make_handler(server: RolloutServer):
                     )
                     return
                 x = np.load(io.BytesIO(self.rfile.read(n)))
-                pred = server.submit(x, steps)
+                pred = target.submit(x, steps)
                 body = _npy_bytes(pred)
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
@@ -408,8 +477,29 @@ def serve(
     owns shutdown — graceful: httpd.shutdown(); rollout_server.stop(
     drain=True). TLS when certfile/keyfile are given."""
     rs = RolloutServer(model, params, **kw)
-    rs.start()
-    httpd = ThreadingHTTPServer((host, port), _make_handler(rs))
+    return _listen(rs, host, port, ssl_certfile, ssl_keyfile)[0], rs
+
+
+def serve_multi(
+    servers: "dict[str, RolloutServer]",
+    default: Optional[str] = None,
+    auth_token: Optional[str] = None,
+    host: str = "127.0.0.1",
+    port: int = 8476,
+    ssl_certfile: Optional[str] = None,
+    ssl_keyfile: Optional[str] = None,
+) -> tuple[ThreadingHTTPServer, ModelRouter]:
+    """Start a multi-model rollout server: POST /rollout?model=<name> routes
+    to the named RolloutServer (unnamed requests go to `default`). Each
+    model keeps its own queue/worker/buckets; auth is router-level. Caller
+    owns shutdown — httpd.shutdown(); router.stop(drain=True)."""
+    router = ModelRouter(servers, default=default, auth_token=auth_token)
+    return _listen(router, host, port, ssl_certfile, ssl_keyfile)[0], router
+
+
+def _listen(target, host, port, ssl_certfile, ssl_keyfile):
+    target.start()
+    httpd = ThreadingHTTPServer((host, port), _make_handler(target))
     if ssl_certfile:
         import ssl
 
@@ -418,4 +508,4 @@ def serve(
         httpd.socket = ctx.wrap_socket(httpd.socket, server_side=True)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    return httpd, rs
+    return httpd, target

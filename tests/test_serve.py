@@ -207,6 +207,95 @@ def test_auth_token():
         rs.stop()
 
 
+def test_multi_model_routing():
+    """serve_multi routes /rollout?model=NAME to the named server, serves
+    the default on unnamed requests, and 404s unknown names. Models have
+    different channel counts so a routing mistake is shape-visible."""
+    from dpot_tpu.serve import RolloutServer, serve_multi
+    import urllib.error
+
+    servers = {}
+    models = {}
+    for name, n_ch in (("a2", 2), ("b3", 3)):
+        m = build_model(
+            "DPOT", img_size=16, patch_size=4, in_channels=n_ch,
+            in_timesteps=4, out_timesteps=1, embed_dim=32, depth=1,
+            n_blocks=4, modes=4, n_cls=1,
+        )
+        p = m.init(jax.random.key(0), jnp.zeros((1, 16, 16, 4, n_ch)))
+        servers[name] = RolloutServer(m, p, batch_buckets=(1, 2),
+                                      max_wait_ms=1.0)
+        models[name] = (m, p)
+    httpd, router = serve_multi(servers, default="b3", port=0)
+    port = httpd.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            h = json.loads(r.read())
+        assert set(h["models"]) == {"a2", "b3"} and h["default"] == "b3"
+
+        rng = np.random.default_rng(7)
+        for name, n_ch in (("a2", 2), ("b3", 3)):
+            x = rng.standard_normal((1, 16, 16, 4, n_ch)).astype(np.float32)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/rollout?model={name}&steps=1",
+                data=_npy(x), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                pred = np.load(io.BytesIO(r.read()))
+            assert pred.shape == (1, 16, 16, 1, n_ch)
+            m, p = models[name]
+            im, _ = m.apply(p, jnp.asarray(x))
+            np.testing.assert_allclose(pred[..., 0, :],
+                                       np.asarray(im)[..., 0, :], atol=1e-5)
+
+        # unnamed request -> default model (b3 expects 3 channels)
+        x = rng.standard_normal((1, 16, 16, 4, 3)).astype(np.float32)
+        pred = _post_rollout(port, x, 1)
+        assert pred.shape == (1, 16, 16, 1, 3)
+
+        # unknown model -> 404
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rollout?model=nope&steps=1",
+            data=_npy(x), method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("unknown model accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            m = json.loads(r.read())
+        assert m["a2"]["requests"] >= 1 and m["b3"]["requests"] >= 2
+    finally:
+        httpd.shutdown()
+        router.stop()
+
+
+def test_single_server_rejects_model_param(served):
+    """A single-model server must 404 `?model=x` rather than silently
+    serving the wrong model."""
+    import urllib.error
+
+    _, _, rs, port = served
+    x = np.zeros((1, 16, 16, 4, 2), np.float32)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/rollout?model=other&steps=1",
+        data=_npy(x), method="POST",
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("?model= accepted by single-model server")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def _npy(a):
+    buf = io.BytesIO()
+    np.save(buf, a)
+    return buf.getvalue()
+
+
 def test_graceful_shutdown_drains():
     """stop(drain=True) finishes queued work and rejects new submissions."""
     from dpot_tpu.serve import RolloutServer
