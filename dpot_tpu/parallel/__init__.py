@@ -1,1 +1,2 @@
 from dpot_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from dpot_tpu.parallel.tensor import shard_state_tp, tp_specs

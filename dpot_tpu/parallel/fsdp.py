@@ -26,7 +26,13 @@ def param_spec(
 ) -> P:
     """Pick the largest evenly-divisible axis to shard; replicate small
     params (their all-gather overhead would dominate)."""
-    shape = np.shape(p)
+    return shape_spec(np.shape(p), n_shards, axis, min_size)
+
+
+def shape_spec(
+    shape: tuple, n_shards: int, axis: str = "data", min_size: int = 2**16
+) -> P:
+    """param_spec on a bare shape (no array needed)."""
     if int(np.prod(shape)) < min_size:
         return P()
     for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
@@ -43,20 +49,20 @@ def fsdp_specs(params: Any, mesh: Mesh, axis: str = "data",
     return jax.tree.map(lambda p: param_spec(p, n, axis, min_size), params)
 
 
-def shard_state_fsdp(
-    state: TrainState, mesh: Mesh, axis: str = "data", min_size: int = 2**16
-) -> TrainState:
-    """Place params and matching optimizer moments with FSDP shardings;
-    scalars (step counts, rng) replicated."""
-    specs = fsdp_specs(state.params, mesh, axis, min_size)
+def place_state(state: TrainState, mesh: Mesh, spec_fn) -> TrainState:
+    """Place params and matching optimizer moments with spec_fn(tree)
+    shardings; scalars (step counts, rng) replicated. spec_fn maps a
+    param-shaped pytree to a PartitionSpec tree — the shared placement
+    engine behind FSDP (fsdp_specs) and tensor parallelism
+    (parallel/tensor.py tp_specs)."""
 
-    def put(tree, spec_tree):
+    def put(tree):
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-            tree, spec_tree,
+            tree, spec_fn(tree),
         )
 
-    params = put(state.params, specs)
+    params = put(state.params)
 
     def put_opt(x):
         # moments share the param tree structure inside AdamState.mu/nu;
@@ -72,12 +78,10 @@ def shard_state_fsdp(
     new_opt = []
     for entry in (opt_state if is_chain else (opt_state,)):
         if hasattr(entry, "mu") and hasattr(entry, "nu"):
-            mu_specs = fsdp_specs(entry.mu, mesh, axis, min_size)
-            nu_specs = fsdp_specs(entry.nu, mesh, axis, min_size)
             entry = entry._replace(
                 count=put_opt(entry.count),
-                mu=put(entry.mu, mu_specs),
-                nu=put(entry.nu, nu_specs),
+                mu=put(entry.mu),
+                nu=put(entry.nu),
             )
         else:
             entry = jax.tree.map(put_opt, entry)
@@ -92,6 +96,15 @@ def shard_state_fsdp(
     )
 
 
+def shard_state_fsdp(
+    state: TrainState, mesh: Mesh, axis: str = "data", min_size: int = 2**16
+) -> TrainState:
+    """Place params and matching optimizer moments with FSDP shardings."""
+    return place_state(
+        state, mesh, lambda tree: fsdp_specs(tree, mesh, axis, min_size)
+    )
+
+
 def _moment_entries(opt_state):
     """Yield the optimizer-state entries that carry param-shaped moments
     (AdamState-likes with .mu/.nu), walking chained-transform tuples."""
@@ -103,12 +116,12 @@ def _moment_entries(opt_state):
             yield entry
 
 
-def check_fsdp_shardings(
-    state: TrainState, mesh: Mesh, axis: str = "data", min_size: int = 2**16
+def check_shardings(
+    state: TrainState, mesh: Mesh, spec_fn, min_size: int = 2**16
 ) -> list:
-    """Verify FSDP shardings SURVIVED a jitted train step: every large leaf
-    of params and of each moment tree must occupy NO MORE per-device memory
-    than its fsdp_specs sharding intends. XLA is free to change output
+    """Verify shardings SURVIVED a jitted train step: every large leaf of
+    params and of each moment tree must occupy NO MORE per-device memory
+    than its spec_fn sharding intends. XLA is free to change output
     shardings unless pinned by the inputs; a silent re-replication at H
     scale is a 12GB/chip OOM on real hardware (VERDICT r2 weak #2). A leaf
     that comes back MORE sharded than the spec (XLA sometimes adds a
@@ -120,7 +133,7 @@ def check_fsdp_shardings(
     bad = []
 
     def walk(tree, tag):
-        specs = jax.tree.leaves(fsdp_specs(tree, mesh, axis, min_size))
+        specs = jax.tree.leaves(spec_fn(tree), is_leaf=lambda s: isinstance(s, P))
         leaves, _ = tree_flatten_with_path(tree)
         assert len(leaves) == len(specs)
         for (path, x), s in zip(leaves, specs):
@@ -137,3 +150,13 @@ def check_fsdp_shardings(
         walk(entry.mu, f"opt[{i}].mu")
         walk(entry.nu, f"opt[{i}].nu")
     return bad
+
+
+def check_fsdp_shardings(
+    state: TrainState, mesh: Mesh, axis: str = "data", min_size: int = 2**16
+) -> list:
+    """check_shardings against the FSDP spec tree."""
+    return check_shardings(
+        state, mesh, lambda tree: fsdp_specs(tree, mesh, axis, min_size),
+        min_size,
+    )

@@ -12,6 +12,8 @@ Axes:
   spatial — H-axis sharding for >128^2 native-resolution training (the
             extension the reference lacks; pairs with a distributed FFT,
             dpot_tpu/parallel/dist_fft.py)
+  model   — tensor parallelism over the block weights (AFNO mode-MLP block
+            axis + Megatron-style channel MLP, dpot_tpu/parallel/tensor.py)
 """
 
 from __future__ import annotations
@@ -26,17 +28,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     data: Optional[int] = None,
     spatial: int = 1,
+    model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // spatial
-    assert data * spatial == n, (
-        f"mesh {data}x{spatial} != {n} devices"
+        data = n // (spatial * model)
+    assert data * spatial * model == n, (
+        f"mesh {data}x{spatial}x{model} != {n} devices"
     )
-    arr = np.array(devices).reshape(data, spatial)
-    return Mesh(arr, ("data", "spatial"))
+    # 'model' innermost: TP's per-layer collectives (fc2 psum) are the
+    # latency-critical ones, so they should ride the fastest ICI hops
+    arr = np.array(devices).reshape(data, spatial, model)
+    return Mesh(arr, ("data", "spatial", "model"))
 
 
 def batch_spec(ndim: int, spatial_sharded: bool = False) -> P:
