@@ -102,6 +102,22 @@ def tp_specs(
     )
 
 
+def shard_params_tp(
+    params: Any, mesh: Mesh, axis: str = "model",
+    fsdp_axis: Optional[str] = None, min_size: int = 2**16,
+) -> Any:
+    """TP-place a bare param tree (no TrainState) — the inference/serving
+    path: sharded weights + replicated activations give each chip 1/n of
+    the per-AR-step weight reads (the B=1 rollout bottleneck)."""
+    from jax.sharding import NamedSharding
+
+    specs = tp_specs(params, mesh, axis, fsdp_axis, min_size)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+    )
+
+
 def shard_state_tp(
     state: TrainState, mesh: Mesh, axis: str = "model",
     fsdp_axis: Optional[str] = None, min_size: int = 2**16,

@@ -84,11 +84,18 @@ class RolloutServer:
         max_steps: int = 64,
         auth_token: Optional[str] = None,
         max_body_bytes: int = 256 * 2**20,
+        mesh: Optional[Any] = None,
     ):
         import jax
 
         self.model = model
         self.params = params
+        # multi-chip serving: pass TP-sharded params
+        # (parallel.tensor.shard_params_tp) + their mesh; inputs are
+        # replicated over it and GSPMD runs the rollout tensor-parallel —
+        # each chip reads 1/n of the weights per AR step (the B=1
+        # latency bottleneck at H scale, SCALING.md §tensor-parallelism)
+        self.mesh = mesh
         self.t_bundle = t_bundle
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.max_wait_ms = max_wait_ms
@@ -162,9 +169,19 @@ class RolloutServer:
                 return cap
         return self.batch_buckets[-1]
 
-    def _run_batch(self, items: list[_Pending]) -> None:
+    def _to_device(self, x_np):
+        import jax
         import jax.numpy as jnp
 
+        if self.mesh is None:
+            return jnp.asarray(x_np)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(
+            x_np, NamedSharding(self.mesh, PartitionSpec())
+        )
+
+    def _run_batch(self, items: list[_Pending]) -> None:
         try:
             xs = np.concatenate([it.x for it in items], axis=0)
             b = xs.shape[0]
@@ -181,7 +198,7 @@ class RolloutServer:
                         cx = np.concatenate(
                             [cx, np.repeat(cx[:1], max_cap - n, axis=0)], axis=0
                         )
-                    chunks.append(np.asarray(roll(self.params, jnp.asarray(cx)))[:n])
+                    chunks.append(np.asarray(roll(self.params, self._to_device(cx)))[:n])
                 pred_np = np.concatenate(chunks, axis=0)
             else:
                 cap = self._bucket(b)
@@ -189,7 +206,7 @@ class RolloutServer:
                     pad = np.repeat(xs[:1], cap - b, axis=0)
                     xs = np.concatenate([xs, pad], axis=0)
                     self._count(padded_items=cap - b)
-                pred_np = np.asarray(roll(self.params, jnp.asarray(xs)))[:b]
+                pred_np = np.asarray(roll(self.params, self._to_device(xs)))[:b]
             self._count(batches=1, batch_items=b)
             off = 0
             for it in items:

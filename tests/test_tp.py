@@ -130,6 +130,39 @@ def test_tp_shardings_survive_donated_steps():
         assert np.isfinite(float(jnp.reshape(aux["loss_step"], ())))
 
 
+def test_tp_serving_matches_unsharded():
+    """RolloutServer with TP-sharded params + mesh (the weight-bound
+    H-scale inference deployment) returns the same rollout as the plain
+    single-device server path."""
+    from dpot_tpu.parallel.tensor import shard_params_tp
+    from dpot_tpu.serve import RolloutServer
+
+    model, params, batch = tiny_model_and_batch(B=1, T_ar=1)
+    mesh = make_mesh(data=2, spatial=1, model=4)
+    tp_params = shard_params_tp(params, mesh, min_size=0)
+    assert count_tp_leaves(params, mesh) > 0
+
+    rs = RolloutServer(
+        model, tp_params, mesh=mesh, batch_buckets=(1, 2), max_wait_ms=1.0,
+    )
+    rs.start()
+    try:
+        x = np.asarray(batch["x"], np.float32)
+        pred = rs.submit(x, 3)
+        assert pred.shape == (1, 16, 16, 3, 2)
+        xc = jnp.asarray(x)
+        outs = []
+        for _ in range(3):
+            im, _ = model.apply(params, xc)
+            outs.append(np.asarray(im))
+            xc = jnp.concatenate([xc[..., 1:, :], im], axis=-2)
+        np.testing.assert_allclose(
+            pred, np.concatenate(outs, axis=-2), atol=1e-5, rtol=1e-5
+        )
+    finally:
+        rs.stop()
+
+
 def test_tp_fsdp_2d_matches_replicated():
     """TP x FSDP 2D sharding (block weights split over BOTH axes, the rest
     FSDP over 'data') still trains identically."""
