@@ -116,7 +116,9 @@ def train(
 ) -> dict:
     """init_params: caller-provided starting params (e.g. cli/finetune's
     component-merged tree) — takes precedence over cfg.resume_path."""
-    mesh = make_mesh(data=cfg.mesh_data, spatial=cfg.mesh_spatial)
+    mesh = make_mesh(
+        data=cfg.mesh_data, spatial=cfg.mesh_spatial, model=cfg.mesh_model
+    )
     model, state, sched, train_dl, test_dls, train_ds = build_everything(
         cfg, mesh=mesh
     )
@@ -156,7 +158,25 @@ def train(
         state = state.replace(params=src)
         writer.text(f"warm-started params from {cfg.init_from}")
 
-    state = replicate(state, mesh)
+    # parameter placement strategy (restore/init above already produced the
+    # host-side tree, so placement here covers resumed runs too)
+    if cfg.shard_params == "fsdp":
+        from dpot_tpu.parallel.fsdp import shard_state_fsdp
+
+        state = shard_state_fsdp(state, mesh)
+    elif cfg.shard_params in ("tp", "tp_fsdp"):
+        from dpot_tpu.parallel.tensor import shard_state_tp
+
+        state = shard_state_tp(
+            state, mesh,
+            fsdp_axis="data" if cfg.shard_params == "tp_fsdp" else None,
+        )
+    else:
+        assert cfg.shard_params == "replicate", (
+            f"unknown shard_params {cfg.shard_params!r} "
+            "(replicate | fsdp | tp | tp_fsdp)"
+        )
+        state = replicate(state, mesh)
     # time-major corpora ship train batches as (B, T, spatial..., C) and
     # the step transposes on device (ingest fast path). Spatial sharding
     # expects the standard host layout — force it off there.

@@ -87,6 +87,11 @@ class TrainConfig:
     remat: bool = False
     mesh_data: Optional[int] = None  # None = all devices
     mesh_spatial: int = 1
+    mesh_model: int = 1  # tensor-parallel axis (parallel/tensor.py)
+    # parameter placement over the mesh: replicate (DP; the reference's
+    # only strategy) | fsdp (params+moments over 'data') | tp (block
+    # weights over 'model') | tp_fsdp (2D: both)
+    shard_params: str = "replicate"
 
     # logging / checkpoint (train_temporal.py:78-86)
     comment: str = ""

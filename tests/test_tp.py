@@ -130,6 +130,41 @@ def test_tp_shardings_survive_donated_steps():
         assert np.isfinite(float(jnp.reshape(aux["loss_step"], ())))
 
 
+def test_train_loop_shard_params_strategies(tmp_path):
+    """The CLI-reachable placement knob: train() with shard_params in
+    {replicate, fsdp, tp, tp_fsdp} produces the SAME loss trajectory
+    (same seed/schedule/noise) on the 8-device mesh."""
+    from dpot_tpu.data.registry import make_synthetic_spec
+    from dpot_tpu.train.loop import train
+    from dpot_tpu.utils.config import TrainConfig
+
+    make_synthetic_spec(
+        "tp_loop", train_size=16, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+    base = dict(
+        model="DPOT", train_paths=["tp_loop"], res=16, patch_size=4,
+        width=32, n_layers=1, n_blocks=4, modes=4, T_in=6, epochs=1,
+        batch_size=8, num_workers=2, lr=1e-3, opt="adam", seed=7,
+    )
+    losses = {}
+    for strat, mesh_kw in [
+        ("replicate", {}),
+        ("fsdp", {}),
+        ("tp", {"mesh_data": 2, "mesh_model": 4}),
+        ("tp_fsdp", {"mesh_data": 2, "mesh_model": 4}),
+    ]:
+        out = train(
+            TrainConfig(shard_params=strat, **mesh_kw, **base),
+            log_dir=str(tmp_path / strat),
+        )
+        losses[strat] = out["train_l2_step"]
+        assert np.isfinite(losses[strat]), (strat, losses[strat])
+    ref = losses["replicate"]
+    for strat, l in losses.items():
+        np.testing.assert_allclose(l, ref, rtol=2e-5, err_msg=strat)
+
+
 def test_tp_serving_matches_unsharded():
     """RolloutServer with TP-sharded params + mesh (the weight-bound
     H-scale inference deployment) returns the same rollout as the plain
