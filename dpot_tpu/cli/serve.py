@@ -60,7 +60,9 @@ def _build_served(cfg):
     return model, params
 
 
-def main(argv=None):
+def main(argv=None, wait=True):
+    """wait=False skips the signal loop and returns (httpd, server) —
+    the in-process test hook; production callers block until SIGTERM."""
     sys.path.insert(0, ".")
 
     from dpot_tpu.utils.config import TrainConfig, load_config
@@ -123,6 +125,9 @@ def main(argv=None):
     scheme = "https" if ssl_certfile else "http"
     print(f"serving {desc} on {scheme}://{host}:{port}"
           + (" [auth required]" if auth_token else ""), flush=True)
+
+    if not wait:
+        return httpd, rs
 
     import signal
     import threading

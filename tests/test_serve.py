@@ -296,6 +296,45 @@ def _npy(a):
     return buf.getvalue()
 
 
+def test_serve_cli_models_yaml(tmp_path):
+    """The CLI --models fleet path end-to-end: YAML -> built models ->
+    router -> routed rollouts with per-entry shapes."""
+    import urllib.error
+
+    from dpot_tpu.cli.serve import main as serve_main
+
+    fleet = tmp_path / "fleet.yaml"
+    fleet.write_text(
+        "default: b\n"
+        "models:\n"
+        "  a: {model: DPOT, res: 16, patch_size: 4, n_channels: 2,\n"
+        "      T_in: 4, T_bundle: 1, width: 32, n_layers: 1, n_blocks: 4,\n"
+        "      modes: 4, train_paths: [x]}\n"
+        "  b: {model: DPOT, res: 16, patch_size: 4, n_channels: 3,\n"
+        "      T_in: 4, T_bundle: 1, width: 32, n_layers: 1, n_blocks: 4,\n"
+        "      modes: 4, train_paths: [x]}\n"
+    )
+    httpd, router = serve_main(
+        ["--models", str(fleet), "--port", "0"], wait=False
+    )
+    port = httpd.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            h = json.loads(r.read())
+        assert set(h["models"]) == {"a", "b"} and h["default"] == "b"
+        x = np.zeros((1, 16, 16, 4, 2), np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rollout?model=a&steps=1",
+            data=_npy(x), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            pred = np.load(io.BytesIO(r.read()))
+        assert pred.shape == (1, 16, 16, 1, 2)
+    finally:
+        httpd.shutdown()
+        router.stop(drain=True)
+
+
 def test_graceful_shutdown_drains():
     """stop(drain=True) finishes queued work and rejects new submissions."""
     from dpot_tpu.serve import RolloutServer

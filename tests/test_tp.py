@@ -130,6 +130,51 @@ def test_tp_shardings_survive_donated_steps():
         assert np.isfinite(float(jnp.reshape(aux["loss_step"], ())))
 
 
+def test_tp_3d_step_matches_replicated():
+    """DPOT3D shares the ('filter', w1..b2)/(mlp_fc1/fc2) naming and the
+    (2, nb, ...) layout, so the TP rules cover it with no extra code —
+    pin that with a dp=2 x tp=4 equivalence step."""
+    from dpot_tpu.models import build_model
+    from dpot_tpu.train.step import wrap_pred_only
+
+    model = build_model(
+        "DPOT3D", img_size=8, patch_size=2, in_channels=2, out_channels=2,
+        in_timesteps=3, out_timesteps=1, modes=2, temporal_modes=2, n_cls=1,
+        embed_dim=16, depth=1, n_blocks=4, out_layer_dim=8,
+    )
+    rng = np.random.default_rng(1)
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((8, 8, 8, 8, 3, 2)), jnp.float32),
+        "y": jnp.asarray(rng.standard_normal((8, 8, 8, 8, 1, 2)), jnp.float32),
+        "msk": jnp.ones((8, 8, 8, 8, 1, 2), jnp.float32),
+        "cls": jnp.zeros((8,), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch["x"])
+    apply = wrap_pred_only(model.apply)
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+    step = make_train_step(t_bundle=1, noise_scale=0.0, donate=False)
+
+    mesh_tp = make_mesh(data=2, spatial=1, model=4)
+    with mesh_tp:
+        s_tp = shard_state_tp(
+            TrainState.create(apply, params, tx, jax.random.key(1)), mesh_tp
+        )
+        assert count_tp_leaves(params, mesh_tp) == 7
+        s_tp, aux_tp = step(s_tp, shard_batch(batch, mesh_tp))
+
+    mesh_dp = make_mesh(data=8, spatial=1)
+    with mesh_dp:
+        s_rep = replicate(
+            TrainState.create(apply, params, tx, jax.random.key(1)), mesh_dp
+        )
+        s_rep, aux_rep = step(s_rep, shard_batch(batch, mesh_dp))
+
+    np.testing.assert_allclose(
+        float(jnp.reshape(aux_rep["loss_step"], ())),
+        float(jnp.reshape(aux_tp["loss_step"], ())), rtol=1e-5,
+    )
+
+
 def test_train_loop_shard_params_strategies(tmp_path):
     """The CLI-reachable placement knob: train() with shard_params in
     {replicate, fsdp, tp, tp_fsdp} produces the SAME loss trajectory
