@@ -62,6 +62,12 @@ def main(argv=None):
     cfg = load_config(argv)
 
     n_channels = max(get_spec(p).n_channels for p in cfg.test_paths)
+    ndims = {p: get_spec(p).ndim for p in cfg.test_paths}
+    if len(set(ndims.values())) > 1:
+        raise SystemExit(
+            "mixed-rank test sets are unsupported (one model serves one "
+            f"spatial rank): {ndims} — evaluate 2D and 3D sets separately"
+        )
     ndim = get_spec(cfg.test_paths[0]).ndim
     import jax.numpy as jnp
 

@@ -90,14 +90,23 @@ def main(argv=None, wait=True):
 
         from dpot_tpu.serve import RolloutServer, serve_multi
 
+        if argv:
+            raise SystemExit(
+                f"--models mode takes its per-model config from the YAML; "
+                f"unexpected extra CLI flags: {argv}"
+            )
         with open(models_yaml) as f:
             spec = yaml.safe_load(f)
         fields = {f.name for f in dataclasses.fields(TrainConfig)}
         servers = {}
         for name, entry in spec["models"].items():
-            cfg = TrainConfig(
-                **{k: v for k, v in entry.items() if k in fields}
-            )
+            unknown = set(entry) - fields
+            if unknown:
+                raise SystemExit(
+                    f"model {name!r}: unknown config keys {sorted(unknown)} "
+                    "(misspelled TrainConfig field?)"
+                )
+            cfg = TrainConfig(**entry)
             model, params = _build_served(cfg)
             servers[name] = RolloutServer(
                 model, params, t_bundle=cfg.T_bundle, max_steps=max_steps

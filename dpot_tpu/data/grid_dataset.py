@@ -40,18 +40,23 @@ def _open_sample_reader(spec: DatasetSpec, train: bool) -> Callable[..., np.ndar
         from dpot_tpu.data.raw_hdf5 import _window
 
         def read_synth(idx: int, tsel=None, copy: bool = True) -> np.ndarray:
-            return _window(_synthetic_sample(spec, train, idx), tsel)
+            return _window(
+                _synthetic_sample(spec, train, idx), tsel,
+                n_spatial=spec.ndim,
+            )
 
         return read_synth
 
     path = spec.resolve(train)
+    # spec.ndim pins the time axis exactly (channel-less 3D / channeled 1D
+    # corpora break the reader's rank heuristic otherwise)
     if spec.scatter_storage:
         from dpot_tpu.data.raw_hdf5 import RawScatterReader
 
-        return RawScatterReader(path).read
+        return RawScatterReader(path, n_spatial=spec.ndim).read
     from dpot_tpu.data.raw_hdf5 import RawSingleReader
 
-    return RawSingleReader(path).read
+    return RawSingleReader(path, n_spatial=spec.ndim).read
 
 
 def _synthetic_sample(spec: DatasetSpec, train: bool, idx: int) -> np.ndarray:

@@ -62,9 +62,11 @@ class RawScatterReader:
     """idx -> array for scatter corpora (<root>/data_{i}.hdf5), memmapping
     files whose layout matches the probe; h5py otherwise."""
 
-    def __init__(self, root: str, field: str = "data"):
+    def __init__(self, root: str, field: str = "data",
+                 n_spatial: Optional[int] = None):
         self.root = root
         self.field = field
+        self.n_spatial = n_spatial  # locates the time axis (see _window)
         self._layout = -1  # unprobed sentinel (None = probed, unusable)
         self._probe_size = -1  # byte size of the probed file
         self._time_major: Optional[bool] = None
@@ -107,21 +109,23 @@ class RawScatterReader:
             ):
                 m = np.memmap(path, dtype=dtype, mode="r", offset=off,
                               shape=shape)
-                w = _window(m, tsel, tmaj)
+                w = _window(m, tsel, tmaj, self.n_spatial)
                 return w if not copy else np.array(w)
         import h5py
 
         with h5py.File(path, "r") as f:
-            return _window(f[self.field], tsel, tmaj)
+            return _window(f[self.field], tsel, tmaj, self.n_spatial)
 
 
 class RawSingleReader:
     """idx -> array for single-file corpora ((N, ...) 'data' array),
     memmapping when contiguous; a cached h5py handle otherwise."""
 
-    def __init__(self, path: str, field: str = "data"):
+    def __init__(self, path: str, field: str = "data",
+                 n_spatial: Optional[int] = None):
         self.path = path
         self.field = field
+        self.n_spatial = n_spatial  # locates the time axis (see _window)
         self._layout = -1
         self._time_major: Optional[bool] = None
         self._mm: Optional[np.memmap] = None
@@ -142,7 +146,7 @@ class RawSingleReader:
                 off, shape, dtype = self._layout
                 self._mm = np.memmap(self.path, dtype=dtype, mode="r",
                                      offset=off, shape=shape)
-            w = _window(self._mm[idx], tsel, tmaj)
+            w = _window(self._mm[idx], tsel, tmaj, self.n_spatial)
             return w if not copy else np.array(w)
         import h5py
 
@@ -156,15 +160,25 @@ class RawSingleReader:
             return d[idx][:]
         if tmaj:
             return d[idx, tsel]
+        if self.n_spatial is not None:
+            return d[(idx,) + (slice(None),) * self.n_spatial + (tsel,)]
         return d[idx, ..., tsel, :] if d.ndim >= 5 else d[idx, ..., tsel]
 
 
-def _window(d, tsel, time_major: bool = False):
+def _window(d, tsel, time_major: bool = False, n_spatial: Optional[int] = None):
     """Select the tsel time window: (spatial..., T[, C]) data windows the
     T axis in place; time-major (T, spatial..., C) windows the LEADING
-    axis (a contiguous byte range — the whole point of that layout)."""
+    axis (a contiguous byte range — the whole point of that layout).
+
+    n_spatial (the dataset's spatial rank, DatasetSpec.ndim) locates the
+    time axis EXACTLY — with it, channel-less 3D (X,Y,Z,T) and channeled
+    1D (X,T,C) both window T. Without it (None), fall back to the
+    channel-axis heuristic (ndim>=4 ⇒ trailing C), which mis-windows
+    those two layouts — callers that know their rank must pass it."""
     if tsel is None:
         return d[:]
     if time_major:
         return d[tsel]
+    if n_spatial is not None:
+        return d[(slice(None),) * n_spatial + (tsel,)]
     return d[..., tsel, :] if d.ndim >= 4 else d[..., tsel]

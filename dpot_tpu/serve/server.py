@@ -104,6 +104,7 @@ class RolloutServer:
         self.max_body_bytes = int(max_body_bytes)
         self._rollout_cache: dict[int, Any] = {}
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._holdover: list[_Pending] = []  # worker-owned deferred items
         self._stop = threading.Event()
         self._accepting = True
         self._worker = threading.Thread(target=self._drain, daemon=True)
@@ -198,6 +199,7 @@ class RolloutServer:
                         cx = np.concatenate(
                             [cx, np.repeat(cx[:1], max_cap - n, axis=0)], axis=0
                         )
+                        self._count(padded_items=max_cap - n)
                     chunks.append(np.asarray(roll(self.params, self._to_device(cx)))[:n])
                 pred_np = np.concatenate(chunks, axis=0)
             else:
@@ -221,8 +223,11 @@ class RolloutServer:
                 it.event.set()
 
     def _drain(self) -> None:
-        holdover: list[_Pending] = []  # deferred to the NEXT round, in order
-        while not self._stop.is_set():
+        holdover = self._holdover  # deferred to the NEXT round, in order
+        # drain contract: after _stop, keep going until BOTH holdover and
+        # the queue are empty (stop(drain=True) waits on the same pair, so
+        # no accepted request is ever left blocked on its event)
+        while not self._stop.is_set() or holdover or not self._queue.empty():
             if holdover:
                 first = holdover.pop(0)
             else:
@@ -275,10 +280,11 @@ class RolloutServer:
         submissions, finish everything already queued, then join."""
         self._accepting = False
         if drain:
-            # wait for the queue to empty; the worker exits its get-loop
-            # within 100ms of _stop and is joined below, which also fences
-            # the in-flight batch
-            while not self._queue.empty():
+            # wait for BOTH the queue and the worker's holdover list to
+            # empty (micro-batch-deferred requests live in holdover, not
+            # the queue); the worker keeps draining after _stop until both
+            # are empty, and the join fences the in-flight batch
+            while not self._queue.empty() or self._holdover:
                 time.sleep(0.01)
         self._stop.set()
         if drain and self._worker.is_alive():
@@ -303,7 +309,14 @@ class RolloutServer:
                 )
             p = _Pending(np.asarray(x, np.float32), steps)
             self._queue.put(p)
-            p.event.wait()
+            # liveness-checked wait: if the worker exited (a shutdown race
+            # can slip a put past its final queue-empty check), fail the
+            # request instead of blocking this handler thread forever
+            while not p.event.wait(timeout=1.0):
+                if not self._worker.is_alive() and not p.event.is_set():
+                    raise RuntimeError(
+                        "server stopped before the request completed"
+                    )
             if p.error:
                 raise RuntimeError(p.error)
             return p.result
@@ -427,8 +440,10 @@ def _make_handler(server: "RolloutServer | ModelRouter"):
             /healthz stays open for liveness probes."""
             if server.auth_token is None:
                 return True
+            import hmac
+
             got = self.headers.get("Authorization", "")
-            if got == f"Bearer {server.auth_token}":
+            if hmac.compare_digest(got, f"Bearer {server.auth_token}"):
                 return True
             server._count(auth_failures=1)
             self._json(401, {"error": "missing or invalid bearer token"})

@@ -313,6 +313,49 @@ def test_time_major_is_faster(corpus, tm_corpus):
     assert r_tm > r_std, (r_tm, r_std)
 
 
+def test_channelless_3d_windows_time_axis(tmp_path):
+    """Regression (round-3 review): a channel-less (X,Y,Z,T) scatter corpus
+    must window T, not Z — the reader's old rank heuristic (ndim>=4 ⇒
+    trailing channel axis) silently sliced Z planes and trained on
+    corrupted geometry. n_spatial from DatasetSpec.ndim pins the axis."""
+    from dpot_tpu.data.generation import write_scatter
+    from dpot_tpu.data.grid_dataset import TemporalDataset3D
+    from dpot_tpu.data.registry import DatasetSpec, register_dataset
+
+    rng = np.random.default_rng(3)
+    trajs = [rng.standard_normal((10, 10, 10, 14)).astype(np.float32)
+             for _ in range(4)]
+    base = str(tmp_path / "nochan3d")
+    write_scatter(base, iter(trajs), "train")
+    register_dataset(DatasetSpec(
+        name="nochan3d", train_path="nochan3d/train",
+        test_path="nochan3d/train", train_size=4, test_size=4,
+        scatter_storage=True, t_test=2, t_in=6, t_total=14,
+        in_size=(10, 10, 10), n_channels=1, downsample=(1, 1, 1),
+    ))
+    old = _with_root(str(tmp_path))
+    try:
+        ds = TemporalDataset3D("nochan3d", res=10, t_in=6, t_ar=1,
+                               n_channels=1, train=True)
+        for idx in (0, 3):
+            item_rng = np.random.default_rng((5, idx))
+            x, y, msk, _ = ds.__getitem__(idx, rng=item_rng)
+            # x must be SOME contiguous 6-frame window of the trajectory's
+            # T axis with full 10^3 geometry, y the following frame
+            assert x.shape == (10, 10, 10, 6, 1) and y.shape == (10, 10, 10, 1, 1)
+            found = False
+            for s in range(14 - 6):
+                if np.allclose(x[..., 0], trajs[idx][..., s : s + 6]):
+                    np.testing.assert_allclose(
+                        y[..., 0, 0], trajs[idx][..., s + 6], atol=1e-6
+                    )
+                    found = True
+                    break
+            assert found, "x is not a T-window of the source trajectory"
+    finally:
+        _restore_root(old)
+
+
 def test_time_major_3d_dataset(tmp_path):
     """TemporalDataset3D over both layouts: items agree, fetch_into ships
     time-major slots whose transpose matches the standard item."""
