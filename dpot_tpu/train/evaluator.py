@@ -144,10 +144,16 @@ def evaluate(
                 }
                 if bands is not None:
                     lo, mid, hi = bands
-                    vals.update(
-                        fmse_low=vmean(lo), fmse_mid=vmean(mid),
-                        fmse_high=vmean(hi),
-                    )
+                    # the radial binning yields min(spatial)//2 bins; on
+                    # grids too small to populate a band (reference edges
+                    # ilow=4/ihigh=12 assume res >= 24) the empty band's
+                    # mean is NaN — omit those keys instead of emitting it
+                    nbin = min(pred.shape[1:-2]) // 2
+                    vals.update(fmse_low=vmean(lo))
+                    if nbin > 4:
+                        vals.update(fmse_mid=vmean(mid))
+                    if nbin > 12:
+                        vals.update(fmse_high=vmean(hi))
                 for k, v in vals.items():
                     extra[k] = extra.get(k, 0.0) + _fetch(v)
         results[path] = {

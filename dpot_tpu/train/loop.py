@@ -44,6 +44,66 @@ def _device_snapshot(params, opt_state):
     return jax.tree.map(jnp.copy, (params, opt_state))
 
 
+def _host_snapshot(params, opt_state):
+    """Rollback snapshot as HOST copies — the fallback when a resident
+    device copy would crowd HBM (DPOT-H: 12.3 GB of f32 params + Lamb
+    moments; doubling that OOMs a 16 GB chip). Costs a device->host
+    transfer per snapshot, so pair with a coarse rollback_snapshot_steps.
+    Rank-0 leaves fetch via a (1,1) reshape (rank-0 D2H transfers are
+    unimplemented on the tunneled TPU backend — see utils/profiling.fence)."""
+
+    def get(a):
+        if getattr(a, "ndim", None) == 0:
+            return np.asarray(jnp.reshape(a, (1, 1))).reshape(()).copy()
+        return np.asarray(a)
+
+    return jax.tree.map(get, (params, opt_state))
+
+
+def _choose_snapshot_fn(state, writer):
+    """Device- vs host-side rollback snapshots: device copies are ~free in
+    time but DOUBLE the params+opt HBM residency; switch to host copies
+    when the doubled per-device state would exceed ~80% of the chip's
+    memory (per-device bytes respect FSDP/TP shard shapes, so an H-scale
+    state that is sharded small enough keeps the fast path).
+    DPOT_SNAPSHOT_MODE=device|host overrides the heuristic."""
+    mode = os.environ.get("DPOT_SNAPSHOT_MODE", "")
+    if mode not in ("device", "host"):
+        try:
+            limit = (jax.devices()[0].memory_stats() or {}).get("bytes_limit")
+        except Exception:
+            limit = None  # backend without memory stats (CPU): no HBM cap
+        mode = "device"
+        if limit:
+            per_dev = sum(
+                int(np.prod(lf.sharding.shard_shape(lf.shape)))
+                * lf.dtype.itemsize
+                for lf in jax.tree.leaves((state.params, state.opt_state))
+            )
+            if 2 * per_dev > 0.8 * limit:
+                mode = "host"
+                writer.text(
+                    f"rollback snapshots on HOST: params+opt are "
+                    f"{per_dev / 2**30:.1f} GiB/device; a resident device "
+                    f"copy would exceed 80% of {limit / 2**30:.1f} GiB HBM"
+                )
+    return _host_snapshot if mode == "host" else _device_snapshot
+
+
+def _restore_from_snapshot(snap_tree, live_tree):
+    """Revert live params/opt leaves to a snapshot. Device snapshots are
+    copied OUT (the restored buffers become the live state and get donated
+    next step — restoring the snapshot's own buffers would invalidate it);
+    host snapshots are device_put back onto each live leaf's sharding."""
+
+    def put(snap, cur):
+        if isinstance(snap, (np.ndarray, np.generic)):
+            return jax.device_put(snap, cur.sharding)
+        return jnp.copy(snap)
+
+    return jax.tree.map(put, snap_tree, live_tree)
+
+
 def build_everything(cfg: TrainConfig, mesh=None):
     train_ds = MixedTemporalDataset(
         cfg.train_paths, cfg.ntrain_list, res=cfg.res, t_in=cfg.T_in,
@@ -217,8 +277,9 @@ def train(
     it = start_epoch * steps_per_epoch  # global step (== state.step on resume)
     loss_ema = None  # running mean of per-batch losses (failure detector)
     rollback_on = cfg.rollback_factor > 0 and cfg.rollback_snapshot_steps >= 0
+    take_snapshot = _choose_snapshot_fn(state, writer) if rollback_on else None
     last_good = (
-        _device_snapshot(state.params, state.opt_state) if rollback_on else None
+        take_snapshot(state.params, state.opt_state) if rollback_on else None
     )
     history = {}
 
@@ -265,12 +326,11 @@ def train(
                     f"loss explodes ({loss_v:.3g} vs ema {loss_ema:.3g}), "
                     "restoring previous good state"
                 )
-                # copy OUT of the snapshot: the restored buffers become the
-                # live state and get donated next step — restoring the
-                # snapshot's own buffers would invalidate it
                 state = state.replace(
-                    params=jax.tree.map(jnp.copy, last_good[0]),
-                    opt_state=jax.tree.map(jnp.copy, last_good[1]),
+                    params=_restore_from_snapshot(last_good[0], state.params),
+                    opt_state=_restore_from_snapshot(
+                        last_good[1], state.opt_state
+                    ),
                 )
             elif np.isfinite(loss_v):
                 loss_ema = (
@@ -301,7 +361,7 @@ def train(
                 # mid-epoch snapshot: an explosion replays at most
                 # rollback_snapshot_steps steps (taken AFTER drain so a
                 # just-detected explosion snapshots the restored state)
-                last_good = _device_snapshot(state.params, state.opt_state)
+                last_good = take_snapshot(state.params, state.opt_state)
             # loss_step sums over the GLOBAL batch; x is this host's shard
             pending = (aux, x.shape[0] * jax.process_count(), steps_per_sample)
             t_train += time.perf_counter() - t_1
@@ -351,7 +411,7 @@ def train(
                 target = f"{ckpt_dir}_{ep // cfg.ckpt_bucket_epochs}"
             save_checkpoint(target, state, config=vars(cfg))
         if rollback_on and cfg.rollback_snapshot_steps == 0:
-            last_good = _device_snapshot(state.params, state.opt_state)
+            last_good = take_snapshot(state.params, state.opt_state)
 
         t_test = time.perf_counter() - t_1
         lr_now = _fetch(sched(state.step)) if callable(sched) else sched

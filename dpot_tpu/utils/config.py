@@ -69,7 +69,10 @@ class TrainConfig:
     # epoch), N>0 = every N steps (a mid-epoch explosion then replays at
     # most N steps), -1 = never snapshot (disables rollback). Snapshots are
     # device-side copies (no host traffic) but DOUBLE the params+opt HBM
-    # residency while held — set -1 (or rollback_factor 0) at H scale.
+    # residency while held; when the doubled per-device state would exceed
+    # ~80% of chip memory (DPOT-H unsharded: 12.3 GB on a 16 GB chip) the
+    # loop automatically falls back to host-side copies and logs it
+    # (override: DPOT_SNAPSHOT_MODE=device|host).
     rollback_snapshot_steps: int = 0
 
     # runtime

@@ -240,6 +240,65 @@ def test_midepoch_explosion_rollback(tmp_path, monkeypatch):
     assert np.isfinite(out["train_l2_step"])
 
 
+def test_explosion_rollback_host_snapshots(tmp_path, monkeypatch):
+    """Host-side snapshot fallback (the H-scale path where a resident
+    device copy would OOM HBM): with DPOT_SNAPSHOT_MODE=host the forged
+    explosion must restore exactly from numpy snapshots — device_put back
+    onto the live leaves' shardings, including the rank-0 opt counters."""
+    import dpot_tpu.train.loop as loop_mod
+    from dpot_tpu.data.registry import make_synthetic_spec
+
+    make_synthetic_spec(
+        "boomh", train_size=48, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+
+    calls = {"n": 0}
+    real_fetch = loop_mod._fetch
+
+    def fake_fetch(x):
+        calls["n"] += 1
+        if calls["n"] == 9:  # batch 5's loss_step (2 fetches per batch)
+            return 1e9
+        return real_fetch(x)
+
+    snaps = []
+    real_snap = loop_mod._host_snapshot
+
+    def spy_snap(params, opt_state):
+        out = real_snap(params, opt_state)
+        assert all(
+            isinstance(lf, (np.ndarray, np.generic))
+            for lf in jax.tree.leaves(out)
+        ), "host snapshot must hold numpy leaves, not device arrays"
+        snaps.append(out[0])
+        return out
+
+    monkeypatch.setenv("DPOT_SNAPSHOT_MODE", "host")
+    monkeypatch.setattr(loop_mod, "_fetch", fake_fetch)
+    monkeypatch.setattr(loop_mod, "_host_snapshot", spy_snap)
+
+    cfg = TrainConfig(
+        model="DPOT", train_paths=["boomh"], res=16, patch_size=4, width=32,
+        n_layers=1, n_blocks=4, modes=4, T_in=6, batch_size=8, epochs=1,
+        num_workers=2, lr=1e-3, opt="adam", use_writer=True,
+        rollback_factor=2.0, rollback_warmup_steps=1,
+        rollback_snapshot_steps=2,
+    )
+    out = train(cfg, log_dir=str(tmp_path / "run"))
+
+    logs = (tmp_path / "run" / "logs.txt").read_text()
+    assert "restoring previous good state" in logs
+    assert len(snaps) == 4  # initial + it=2,4,6
+    flat = [jax.tree.leaves(s) for s in snaps]
+    assert any(not np.array_equal(a, b) for a, b in zip(flat[1], flat[2]))
+    # the it=6 snapshot (taken right after the restore) is bit-identical
+    # to the it=4 one: the host round-trip restored exactly
+    for a, b in zip(flat[2], flat[3]):
+        np.testing.assert_array_equal(a, b)
+    assert np.isfinite(out["train_l2_step"])
+
+
 def test_sweep_expansion():
     y = {
         "base": 1,
