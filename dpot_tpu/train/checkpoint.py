@@ -34,25 +34,49 @@ except Exception:  # pragma: no cover
 from dpot_tpu.train.state import TrainState
 
 
-def save_checkpoint(path: str, state: TrainState, config: Optional[dict] = None):
-    """Save full train state (params/opt/step/rng) + config json."""
-    path = os.path.abspath(path)
-    os.makedirs(path, exist_ok=True)
-    payload = {
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
-        "step": jax.device_get(state.step),
-        "rng": jax.device_get(jax.random.key_data(state.rng)),
-    }
-    if _HAS_ORBAX:
-        ckpt = ocp.StandardCheckpointer()
-        target = os.path.join(path, "state")
-        if os.path.exists(target):
-            import shutil
+def _host_payload(state: TrainState) -> dict:
+    """Fetch the full train state to host numpy. Rank-0 leaves (step, the
+    optimizer's count) travel via a (1,1) reshape — rank-0 D2H transfers
+    are unimplemented on the tunneled TPU backend (see utils/profiling.fence),
+    and the plain device_get the old save used would crash there."""
+    import jax.numpy as jnp
 
-            shutil.rmtree(target)
-        ckpt.save(target, payload)
+    def get(a):
+        if getattr(a, "ndim", None) == 0 and not isinstance(
+            a, (np.ndarray, np.generic)
+        ):
+            return np.asarray(jnp.reshape(a, (1, 1))).reshape(())
+        return np.asarray(jax.device_get(a))
+
+    return jax.tree.map(
+        get,
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rng": jax.random.key_data(state.rng),
+        },
+    )
+
+
+def _write_payload(path: str, payload: dict, config: Optional[dict]) -> None:
+    """Write a host payload to disk. The live checkpoint is replaced
+    near-atomically: the new state is fully written beside it first, then
+    swapped in — a crash mid-write leaves the previous checkpoint intact."""
+    os.makedirs(path, exist_ok=True)
+    if _HAS_ORBAX:
+        import shutil
+
+        target = os.path.join(path, "state")
+        tmp = target + ".new"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(tmp, payload)
         ckpt.wait_until_finished()
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(tmp, target)
     else:  # flat-npz fallback
         flat, treedef = jax.tree.flatten(payload)
         # record how many flat leaves belong to each top-level section
@@ -61,15 +85,89 @@ def save_checkpoint(path: str, state: TrainState, config: Optional[dict] = None)
         sections = {
             k: len(jax.tree.leaves(payload[k])) for k in sorted(payload)
         }
-        np.savez(
-            os.path.join(path, "state.npz"),
-            *[np.asarray(x) for x in flat],
-            treedef=str(treedef),
-            sections=json.dumps(sections),
-        )
+        final = os.path.join(path, "state.npz")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(
+                f,
+                *[np.asarray(x) for x in flat],
+                treedef=str(treedef),
+                sections=json.dumps(sections),
+            )
+        os.replace(tmp, final)
     if config is not None:
         with open(os.path.join(path, "params.json"), "w") as f:
             json.dump(config, f, indent=2, default=str)
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint IO with training. save_checkpoint(..., writer=)
+    fetches the state to host synchronously (numpy copies — the next
+    step's buffer donation can't invalidate them) and hands the disk
+    write to this worker thread, so an H-scale save (~12 GB, ~10 s of
+    disk) no longer stalls the step loop. submit() blocks while a
+    previous write is still queued, bounding host memory to ~2 in-flight
+    payloads; wait() fences everything written so far (train() fences
+    before returning, so a checkpoint is always complete on disk once
+    train() has returned)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=1)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            try:
+                _write_payload(*item)
+            except BaseException as e:  # surfaced on the next submit/wait
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def submit(self, path: str, payload: dict, config: Optional[dict]):
+        self._check()
+        self._q.put((path, payload, config))
+
+    def wait(self):
+        """Block until every submitted write has hit the disk."""
+        self._q.join()
+        self._check()
+
+    def close(self):
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
+
+
+def save_checkpoint(
+    path: str,
+    state: TrainState,
+    config: Optional[dict] = None,
+    writer: Optional[AsyncCheckpointWriter] = None,
+):
+    """Save full train state (params/opt/step/rng) + config json. With a
+    writer, the disk write happens in the background (see
+    AsyncCheckpointWriter); the host fetch is synchronous either way."""
+    path = os.path.abspath(path)
+    payload = _host_payload(state)
+    if writer is not None:
+        writer.submit(path, payload, config)
+    else:
+        _write_payload(path, payload, config)
 
 
 def _wrap_saved_rng(data):

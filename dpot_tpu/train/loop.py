@@ -190,6 +190,17 @@ def train(
         )
     writer = MetricWriter(log_dir)
     ckpt_dir = os.path.join(log_dir, "model") if log_dir else None
+    if ckpt_dir and jax.process_index() != 0:
+        # one writer per job: the dp-replicated state is fully addressable
+        # from process 0 (a state sharded ACROSS processes would need a
+        # multiprocess checkpointer — today only single-controller runs
+        # shard params; multihost runs are dp-replicated, train/interop.py)
+        ckpt_dir = None
+    ckpt_writer = None
+    if ckpt_dir and cfg.async_ckpt:
+        from dpot_tpu.train.checkpoint import AsyncCheckpointWriter
+
+        ckpt_writer = AsyncCheckpointWriter()
 
     start_epoch = 0
     steps_per_epoch = max(len(train_dl), 1)
@@ -409,7 +420,7 @@ def train(
             target = ckpt_dir
             if cfg.ckpt_bucket_epochs > 0:
                 target = f"{ckpt_dir}_{ep // cfg.ckpt_bucket_epochs}"
-            save_checkpoint(target, state, config=vars(cfg))
+            save_checkpoint(target, state, config=vars(cfg), writer=ckpt_writer)
         if rollback_on and cfg.rollback_snapshot_steps == 0:
             last_good = take_snapshot(state.params, state.opt_state)
 
@@ -435,5 +446,7 @@ def train(
             "test_l2_fulls": test_l2_fulls,
         }
 
+    if ckpt_writer is not None:
+        ckpt_writer.close()  # fence: checkpoints are on disk once we return
     writer.close()
     return {"state": state, "model": model, **history}

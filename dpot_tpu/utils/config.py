@@ -74,6 +74,10 @@ class TrainConfig:
     # loop automatically falls back to host-side copies and logs it
     # (override: DPOT_SNAPSHOT_MODE=device|host).
     rollback_snapshot_steps: int = 0
+    # overlap checkpoint disk writes with training (the host fetch stays
+    # synchronous; an H-scale state is ~12 GB of IO per save otherwise).
+    # train() fences pending writes before returning.
+    async_ckpt: bool = True
 
     # runtime
     seed: int = 0

@@ -66,6 +66,54 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_async_checkpoint_writer(tmp_path):
+    """Background checkpoint writes: wait() fences a complete on-disk
+    state; a second save to the same path atomically replaces the first
+    (full restore equals the LATEST saved state, including step/rng)."""
+    from dpot_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    model, state = small_state()
+    batch = {
+        "x": jnp.ones((2, 16, 16, 4, 1)),
+        "y": jnp.ones((2, 16, 16, 1, 1)),
+        "msk": jnp.ones((2, 16, 16, 1, 1)),
+        "cls": jnp.zeros((2,), jnp.int32),
+    }
+    step = make_train_step(donate=False)
+    w = AsyncCheckpointWriter()
+    path = str(tmp_path / "ck")
+    state, _ = step(state, batch)
+    save_checkpoint(path, state, config={"v": 1}, writer=w)
+    state, _ = step(state, batch)
+    save_checkpoint(path, state, config={"v": 2}, writer=w)
+    w.close()
+
+    _, fresh = small_state(seed=7)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == 2  # the LATEST save won
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    import json as _json
+
+    with open(tmp_path / "ck" / "params.json") as f:
+        assert _json.load(f)["v"] == 2
+
+    # a failed write surfaces on the caller thread, not silently
+    w2 = AsyncCheckpointWriter()
+    bad = str(tmp_path / "ck2")
+    import pathlib
+
+    pathlib.Path(bad).write_text("a file where the ckpt dir must go")
+    save_checkpoint(bad, state, writer=w2)
+    try:
+        w2.wait()
+        raise AssertionError("expected the async write failure to surface")
+    except RuntimeError as e:
+        assert "async checkpoint write failed" in str(e)
+
+
 def test_component_surgery():
     _, s1 = small_state(seed=0)
     _, s2 = small_state(seed=9)
