@@ -421,6 +421,10 @@ class DPOTNet(nn.Module):
     # mesh with a 'spatial' axis > 1 => pencil-decomposed AFNO (sp x dp);
     # see AFNO2D.spatial_mesh
     spatial_mesh: Any = None
+    # mesh with a 'pipe' axis > 1 => GPipe-scheduled trunk
+    # (parallel/pipeline.py); param tree stays canonical (blocks_{i})
+    pipe_mesh: Any = None
+    pipe_microbatches: int = 0  # 0 = one microbatch per pipeline stage
 
     @nn.compact
     def __call__(self, x):  # (B, X, Y, T, C)
@@ -476,21 +480,51 @@ class DPOTNet(nn.Module):
         if self.normalize:
             x = scale_sigma * x + scale_mu  # AdaIN
 
-        block = Block
-        if self.remat:
-            block = nn.remat(Block)
-        for i in range(self.depth):
-            x = block(
-                width=self.embed_dim,
-                num_blocks=self.n_blocks,
-                modes=self.modes,
-                mlp_ratio=self.mlp_ratio,
-                double_skip=False,
-                act=self.act,
-                dtype=self.dtype,
-                spatial_mesh=self.spatial_mesh,
-                name=f"blocks_{i}",
-            )(x)
+        block_kwargs = dict(
+            width=self.embed_dim,
+            num_blocks=self.n_blocks,
+            modes=self.modes,
+            mlp_ratio=self.mlp_ratio,
+            double_skip=False,
+            act=self.act,
+            dtype=self.dtype,
+            spatial_mesh=self.spatial_mesh,
+        )
+        use_pipe = (
+            self.pipe_mesh is not None
+            and self.pipe_mesh.shape.get("pipe", 1) > 1
+            and not self.is_initializing()  # init runs the plain loop so
+            # the canonical blocks_{i} params get created
+        )
+        if use_pipe:
+            assert self.spatial_mesh is None or (
+                self.spatial_mesh.shape.get("spatial", 1) == 1
+            ), "pipeline and spatial sharding cannot combine (yet)"
+            from dpot_tpu.parallel.pipeline import pipeline_blocks
+
+            layer_params = [
+                self.variables["params"][f"blocks_{i}"]
+                for i in range(self.depth)
+            ]
+            # a detached Block (parent=None): applied as a pure function
+            # on each stage's stacked layer slices inside the pipeline
+            template = Block(**block_kwargs, parent=None)
+
+            def apply_one(p, c):
+                return template.apply({"params": p}, c)
+
+            if self.remat:
+                apply_one = jax.checkpoint(apply_one)
+            n_micro = self.pipe_microbatches or self.pipe_mesh.shape["pipe"]
+            x = pipeline_blocks(
+                layer_params, x, self.pipe_mesh, apply_one, n_micro
+            )
+        else:
+            block = Block
+            if self.remat:
+                block = nn.remat(Block)
+            for i in range(self.depth):
+                x = block(**block_kwargs, name=f"blocks_{i}")(x)
 
         # dataset classifier head (reference models/dpot.py:303-309,394-395)
         cls_token = jnp.mean(x, axis=(1, 2))

@@ -14,6 +14,8 @@ Axes:
             dpot_tpu/parallel/dist_fft.py)
   model   — tensor parallelism over the block weights (AFNO mode-MLP block
             axis + Megatron-style channel MLP, dpot_tpu/parallel/tensor.py)
+  pipe    — pipeline parallelism over the block DEPTH (GPipe microbatch
+            schedule as one SPMD program, dpot_tpu/parallel/pipeline.py)
 """
 
 from __future__ import annotations
@@ -29,19 +31,23 @@ def make_mesh(
     data: Optional[int] = None,
     spatial: int = 1,
     model: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // (spatial * model)
-    assert data * spatial * model == n, (
-        f"mesh {data}x{spatial}x{model} != {n} devices"
+        data = n // (spatial * model * pipe)
+    assert data * spatial * model * pipe == n, (
+        f"mesh {data}x{pipe}x{spatial}x{model} != {n} devices"
     )
     # 'model' innermost: TP's per-layer collectives (fc2 psum) are the
-    # latency-critical ones, so they should ride the fastest ICI hops
-    arr = np.array(devices).reshape(data, spatial, model)
-    return Mesh(arr, ("data", "spatial", "model"))
+    # latency-critical ones, so they should ride the fastest ICI hops.
+    # 'pipe' outermost after data: its ring moves one activation per
+    # microbatch tick — the least latency-sensitive traffic, fine on the
+    # slowest hops (that slack is exactly why PP suits DCN topologies)
+    arr = np.array(devices).reshape(data, pipe, spatial, model)
+    return Mesh(arr, ("data", "pipe", "spatial", "model"))
 
 
 def batch_spec(ndim: int, spatial_sharded: bool = False) -> P:

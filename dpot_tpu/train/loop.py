@@ -138,6 +138,11 @@ def build_everything(cfg: TrainConfig, mesh=None):
         # swap every AFNO mixer to the pencil-decomposed distributed FFT
         # (DPOT only; the extension axis for >128^2 native-res training)
         extra["spatial_mesh"] = mesh
+    if mesh is not None and cfg.mesh_pipe > 1:
+        # GPipe-scheduled trunk over the 'pipe' axis (DPOT only)
+        extra["pipe_mesh"] = mesh
+        if cfg.pipe_microbatches:
+            extra["pipe_microbatches"] = cfg.pipe_microbatches
     model = build_model(
         cfg.model, img_size=cfg.res, patch_size=cfg.patch_size,
         in_channels=train_ds.n_channels, in_timesteps=cfg.T_in,
@@ -177,7 +182,8 @@ def train(
     """init_params: caller-provided starting params (e.g. cli/finetune's
     component-merged tree) — takes precedence over cfg.resume_path."""
     mesh = make_mesh(
-        data=cfg.mesh_data, spatial=cfg.mesh_spatial, model=cfg.mesh_model
+        data=cfg.mesh_data, spatial=cfg.mesh_spatial, model=cfg.mesh_model,
+        pipe=cfg.mesh_pipe,
     )
     model, state, sched, train_dl, test_dls, train_ds = build_everything(
         cfg, mesh=mesh

@@ -95,6 +95,8 @@ class TrainConfig:
     mesh_data: Optional[int] = None  # None = all devices
     mesh_spatial: int = 1
     mesh_model: int = 1  # tensor-parallel axis (parallel/tensor.py)
+    mesh_pipe: int = 1  # pipeline stages over block depth (parallel/pipeline.py)
+    pipe_microbatches: int = 0  # 0 = one microbatch per pipeline stage
     # parameter placement over the mesh: replicate (DP; the reference's
     # only strategy) | fsdp (params+moments over 'data') | tp (block
     # weights over 'model') | tp_fsdp (2D: both)
