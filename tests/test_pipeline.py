@@ -122,6 +122,67 @@ def test_pipelined_remat_matches_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_pipelined_bf16_matches_dense_bf16():
+    """The perf path (bf16 compute) through the pipeline: the trunk's
+    zeros-initialized ring buffers must carry the model dtype, and the
+    schedule must stay exact vs the dense bf16 model."""
+    mesh = make_mesh(data=2, pipe=4)
+    kw = {**MODEL_KW, "dtype": jnp.bfloat16}
+    dense = DPOTNet(**kw)
+    piped = DPOTNet(**kw, pipe_mesh=mesh)
+    batch = _batch(8)
+    v = dense.init(jax.random.key(3), batch["x"])
+    yd, cd = jax.jit(dense.apply)(v, batch["x"])
+    yp, cp = jax.jit(piped.apply)(v, batch["x"])
+    # identical schedule-invariant math: bitwise equality is too strict
+    # across layouts, but bf16 outputs should agree to bf16 resolution
+    np.testing.assert_allclose(
+        np.asarray(yd, np.float32), np.asarray(yp, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cd, np.float32), np.asarray(cp, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_pipeline_composes_with_fsdp_placement():
+    """PP is an execution schedule, orthogonal to placement: FSDP-sharding
+    the params over 'data' while the trunk runs pipelined must reproduce
+    the replicated pipelined step."""
+    from dpot_tpu.parallel.fsdp import shard_state_fsdp
+
+    batch = _batch(8)
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+    step = make_train_step(t_bundle=1, noise_scale=0.0, donate=False)
+    mesh = make_mesh(data=2, pipe=4)
+    _, piped = _models(mesh)
+    params = piped.init(jax.random.key(0), batch["x"])
+
+    with mesh:
+        s_rep = replicate(
+            TrainState.create(piped.apply, params, tx, jax.random.key(0)),
+            mesh,
+        )
+        s_fsdp = shard_state_fsdp(
+            TrainState.create(piped.apply, params, tx, jax.random.key(0)),
+            mesh, min_size=256,
+        )
+        for _ in range(2):
+            s_rep, aux_r = step(s_rep, shard_batch(batch, mesh))
+            s_fsdp, aux_f = step(s_fsdp, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(
+        float(jnp.reshape(aux_r["loss_step"], ())),
+        float(jnp.reshape(aux_f["loss_step"], ())), rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s_rep.params)),
+        jax.tree.leaves(jax.device_get(s_fsdp.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_pipeline_train_step_matches_dp():
     """dp=2 x pipe=4 training == replicated dp=8 training, step for step
     (same schedule-as-execution guarantee the TP test pins)."""
