@@ -443,7 +443,14 @@ def _make_handler(server: "RolloutServer | ModelRouter"):
             import hmac
 
             got = self.headers.get("Authorization", "")
-            if hmac.compare_digest(got, f"Bearer {server.auth_token}"):
+            # compare BYTES: compare_digest on str raises TypeError for
+            # non-ASCII input (http.server decodes headers as latin-1), and
+            # _authed runs outside do_POST's try — a crafted header would
+            # drop the connection instead of 401ing
+            if hmac.compare_digest(
+                got.encode("utf-8", "surrogateescape"),
+                f"Bearer {server.auth_token}".encode("utf-8"),
+            ):
                 return True
             server._count(auth_failures=1)
             self._json(401, {"error": "missing or invalid bearer token"})

@@ -35,34 +35,38 @@ from dpot_tpu.train.state import TrainState
 
 
 def _host_payload(state: TrainState) -> dict:
-    """Fetch the full train state to host numpy. Rank-0 leaves (step, the
-    optimizer's count) travel via a (1,1) reshape — rank-0 D2H transfers
-    are unimplemented on the tunneled TPU backend (see utils/profiling.fence),
-    and the plain device_get the old save used would crash there."""
-    import jax.numpy as jnp
+    """Fetch the full train state to host numpy, rank-0-safely (the plain
+    device_get the old save used crashes on the tunneled TPU backend for
+    the step/opt counters — utils/profiling.host_fetch)."""
+    from dpot_tpu.utils.profiling import host_fetch
 
-    def get(a):
-        if getattr(a, "ndim", None) == 0 and not isinstance(
-            a, (np.ndarray, np.generic)
-        ):
-            return np.asarray(jnp.reshape(a, (1, 1))).reshape(())
-        return np.asarray(jax.device_get(a))
-
-    return jax.tree.map(
-        get,
+    return host_fetch(
         {
             "params": state.params,
             "opt_state": state.opt_state,
             "step": state.step,
             "rng": jax.random.key_data(state.rng),
-        },
+        }
     )
+
+
+def _live_state_dir(path: str) -> str:
+    """The restorable orbax state dir: 'state', or the completed
+    'state.new' left by a crash between _write_payload's rmtree and rename
+    ('state.new' is always fully written + fenced before the swap starts,
+    so it is a valid checkpoint whenever 'state' is absent)."""
+    target = os.path.join(path, "state")
+    if not os.path.exists(target) and os.path.exists(target + ".new"):
+        return target + ".new"
+    return target
 
 
 def _write_payload(path: str, payload: dict, config: Optional[dict]) -> None:
     """Write a host payload to disk. The live checkpoint is replaced
-    near-atomically: the new state is fully written beside it first, then
-    swapped in — a crash mid-write leaves the previous checkpoint intact."""
+    crash-safely: the new state is fully written to 'state.new' first,
+    then swapped in. A crash mid-write leaves the previous checkpoint
+    intact; a crash mid-swap leaves the completed 'state.new', which
+    restore falls back to (_live_state_dir)."""
     os.makedirs(path, exist_ok=True)
     if _HAS_ORBAX:
         import shutil
@@ -148,9 +152,13 @@ class AsyncCheckpointWriter:
         self._check()
 
     def close(self):
-        self.wait()
-        self._q.put(None)
-        self._thread.join()
+        try:
+            self.wait()
+        finally:
+            # always stop the worker — a failed write must not strand the
+            # thread (and its queued payload reference) behind the raise
+            self._q.put(None)
+            self._thread.join()
 
 
 def save_checkpoint(
@@ -202,10 +210,11 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         "step": jax.device_get(state.step),
         "rng": jax.device_get(jax.random.key_data(state.rng)),
     }
-    if _HAS_ORBAX and os.path.exists(os.path.join(path, "state")):
+    if _HAS_ORBAX and os.path.exists(_live_state_dir(path)):
+        state_dir = _live_state_dir(path)
         ckpt = ocp.StandardCheckpointer()
         try:
-            payload = ckpt.restore(os.path.join(path, "state"), template)
+            payload = ckpt.restore(state_dir, template)
         except Exception as orig:
             # rng layout mismatch (checkpoint from a platform with the
             # other PRNG impl): retry with the alternative key-data shape.
@@ -217,7 +226,7 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
                 np.shape(template["rng"])[:-1] + (alt,), np.uint32
             )
             try:
-                payload = ckpt.restore(os.path.join(path, "state"), template)
+                payload = ckpt.restore(state_dir, template)
             except Exception:
                 raise orig
     else:
@@ -252,10 +261,10 @@ def _npz_flat_leaves(npz_path: str):
 def restore_params(path: str, params_template: Any) -> Any:
     """Restore only params (for eval / fine-tune warm starts)."""
     path = os.path.abspath(path)
-    if _HAS_ORBAX and os.path.exists(os.path.join(path, "state")):
+    if _HAS_ORBAX and os.path.exists(_live_state_dir(path)):
         ckpt = ocp.StandardCheckpointer()
         # restore without a template -> raw saved pytree; take params
-        payload = ckpt.restore(os.path.join(path, "state"))
+        payload = ckpt.restore(_live_state_dir(path))
         restored = payload["params"]
         # re-impose the template treedef (orbax returns plain dicts)
         treedef = jax.tree.structure(jax.device_get(params_template))

@@ -49,15 +49,10 @@ def _host_snapshot(params, opt_state):
     device copy would crowd HBM (DPOT-H: 12.3 GB of f32 params + Lamb
     moments; doubling that OOMs a 16 GB chip). Costs a device->host
     transfer per snapshot, so pair with a coarse rollback_snapshot_steps.
-    Rank-0 leaves fetch via a (1,1) reshape (rank-0 D2H transfers are
-    unimplemented on the tunneled TPU backend — see utils/profiling.fence)."""
+    Rank-0-safe via utils/profiling.host_fetch."""
+    from dpot_tpu.utils.profiling import host_fetch
 
-    def get(a):
-        if getattr(a, "ndim", None) == 0:
-            return np.asarray(jnp.reshape(a, (1, 1))).reshape(()).copy()
-        return np.asarray(a)
-
-    return jax.tree.map(get, (params, opt_state))
+    return host_fetch((params, opt_state))
 
 
 def _choose_snapshot_fn(state, writer):

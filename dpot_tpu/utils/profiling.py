@@ -33,6 +33,25 @@ def fence(x) -> float:
     return float(np.asarray(jnp.reshape(x, (-1,))[:1].reshape(1, 1))[0, 0])
 
 
+def host_fetch(tree):
+    """Fetch a pytree of device arrays to host numpy, rank-0-safely:
+    scalar leaves (train step counters, optimizer counts) travel via a
+    (1,1) reshape — rank-0 D2H transfers are unimplemented on the tunneled
+    TPU backend (same workaround as fence). numpy/python leaves pass
+    through untouched (no pointless H2D round-trip). THE helper for full
+    host snapshots/checkpoint payloads; keep the workaround in one place."""
+    import jax.numpy as jnp
+
+    def get(a):
+        if isinstance(a, (np.ndarray, np.generic)) or not hasattr(a, "ndim"):
+            return a
+        if a.ndim == 0:
+            return np.asarray(jnp.reshape(a, (1, 1))).reshape(()).copy()
+        return np.asarray(jax.device_get(a))
+
+    return jax.tree.map(get, tree)
+
+
 def maybe_enable_compilation_cache() -> None:
     """Opt-in persistent XLA compilation cache (DPOT_COMPILE_CACHE=<dir>).
 

@@ -2,6 +2,8 @@
 reference loses, train_temporal.py:287) + end-to-end train loop smoke +
 component surgery."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -382,6 +384,66 @@ def test_checkpoint_rng_cross_platform_impl(tmp_path):
     a = jax.random.normal(restored.rng, (4,))
     b = jax.random.normal(rbg_key, (4,))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_crash_mid_swap_falls_back_to_state_new(tmp_path):
+    """A crash between _write_payload's rmtree('state') and the rename
+    leaves only the completed 'state.new'; restore (full and params-only)
+    must fall back to it instead of failing or restoring nothing."""
+    import shutil
+
+    import dpot_tpu.train.checkpoint as ck
+
+    if not ck._HAS_ORBAX:
+        import pytest
+
+        pytest.skip("orbax path only — npz swap is a single os.replace")
+
+    model, state = small_state()
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state, config={"v": 1})
+    # simulate the crash window: new state fully written, old one removed,
+    # rename never happened
+    os.rename(os.path.join(path, "state"), os.path.join(path, "state.new"))
+    assert not os.path.exists(os.path.join(path, "state"))
+
+    _, fresh = small_state(seed=5)
+    restored = restore_checkpoint(path, fresh)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    p = restore_params(path, fresh.params)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(p)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+    # a later successful save cleans up and wins over the stale fallback
+    state2 = state.replace(step=state.step + 5)
+    save_checkpoint(path, state2, config={"v": 2})
+    assert os.path.exists(os.path.join(path, "state"))
+    restored2 = restore_checkpoint(path, fresh)
+    assert int(restored2.step) == int(jax.device_get(state2.step))
+    shutil.rmtree(path)
+
+
+def test_host_fetch_rank0_and_passthrough():
+    """utils.profiling.host_fetch: rank-0 device scalars travel via the
+    (1,1)-reshape workaround, numpy/python leaves pass through untouched
+    (no H2D round-trip), arrays come back as numpy with equal values."""
+    from dpot_tpu.utils.profiling import host_fetch
+
+    arr = np.arange(6.0).reshape(2, 3)
+    tree = {
+        "dev_scalar": jnp.asarray(3, jnp.int32),
+        "dev_arr": jnp.ones((2, 2)),
+        "np_arr": arr,
+        "py_int": 7,
+    }
+    out = host_fetch(tree)
+    assert out["np_arr"] is arr  # pass-through, not copied
+    assert out["py_int"] == 7
+    assert isinstance(out["dev_scalar"], np.ndarray) and out["dev_scalar"].ndim == 0
+    assert int(out["dev_scalar"]) == 3
+    np.testing.assert_array_equal(out["dev_arr"], np.ones((2, 2)))
 
 
 def test_npz_fallback_params_slicing(tmp_path, monkeypatch):
