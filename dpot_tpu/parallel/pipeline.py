@@ -83,7 +83,19 @@ def pipeline_blocks(
         n_micro -= 1
     mb = B // n_micro
     # shard the microbatch over 'data' only when it divides; a replicated
-    # microbatch (each data row redundantly computing) is still correct
+    # microbatch (each data row redundantly computing) is still correct —
+    # but it is n_data× redundant WORK, so surface it (trace-time, so once
+    # per compiled shape, not per step)
+    if n_data > 1 and mb % n_data:
+        import warnings
+
+        warnings.warn(
+            f"pipeline microbatch size {mb} (B={B}, n_micro={n_micro}) is "
+            f"not divisible by the data axis ({n_data}): every data shard "
+            f"will redundantly compute ALL microbatches ({n_data}x the "
+            "trunk FLOPs). Fine for an eval tail batch; for training pick "
+            "pipe_microbatches so B/n_micro % mesh_data == 0."
+        )
     data_axis = data_axis if (n_data > 1 and mb % n_data == 0) else None
 
     stacked = stack_layers(layer_params)  # (L, ...) leaves

@@ -74,7 +74,14 @@ def _write_payload(path: str, payload: dict, config: Optional[dict]) -> None:
         target = os.path.join(path, "state")
         tmp = target + ".new"
         if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+            if os.path.exists(target):
+                shutil.rmtree(tmp)
+            else:
+                # a crash mid-swap left 'state.new' as the ONLY valid
+                # checkpoint — complete the interrupted swap before
+                # starting this write, so a failure DURING this write
+                # still leaves a restorable state on disk
+                os.rename(tmp, target)
         ckpt = ocp.StandardCheckpointer()
         ckpt.save(tmp, payload)
         ckpt.wait_until_finished()
@@ -200,18 +207,34 @@ def _wrap_saved_rng(data):
     return jax.random.wrap_key_data(arr, impl=impl)
 
 
+def _shell(a):
+    """Host zeros with a leaf's shape/dtype — a restore template needs
+    only metadata. Building it this way (instead of device_get'ing the
+    live state) avoids a full D2H copy of the model (~12 GB at H over the
+    tunnel) and the rank-0 D2H crash on the tunneled TPU backend (the
+    step/opt counters are rank-0; see utils/profiling.host_fetch)."""
+    if isinstance(a, (np.ndarray, np.generic)):
+        return np.zeros(a.shape, a.dtype)
+    if hasattr(a, "shape") and hasattr(a, "dtype"):
+        return np.zeros(tuple(a.shape), np.dtype(a.dtype))
+    return np.asarray(a)  # python scalar leaf
+
+
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     """Restore into an existing (abstract-compatible) TrainState. The rng
     leaf is restored impl-agnostically (see _wrap_saved_rng)."""
     path = os.path.abspath(path)
-    template = {
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
-        "step": jax.device_get(state.step),
-        "rng": jax.device_get(jax.random.key_data(state.rng)),
-    }
-    if _HAS_ORBAX and os.path.exists(_live_state_dir(path)):
-        state_dir = _live_state_dir(path)
+    template = jax.tree.map(
+        _shell,
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rng": jax.random.key_data(state.rng),
+        },
+    )
+    state_dir = _live_state_dir(path)
+    if _HAS_ORBAX and os.path.exists(state_dir):
         ckpt = ocp.StandardCheckpointer()
         try:
             payload = ckpt.restore(state_dir, template)
@@ -261,13 +284,15 @@ def _npz_flat_leaves(npz_path: str):
 def restore_params(path: str, params_template: Any) -> Any:
     """Restore only params (for eval / fine-tune warm starts)."""
     path = os.path.abspath(path)
-    if _HAS_ORBAX and os.path.exists(_live_state_dir(path)):
+    state_dir = _live_state_dir(path)
+    if _HAS_ORBAX and os.path.exists(state_dir):
         ckpt = ocp.StandardCheckpointer()
         # restore without a template -> raw saved pytree; take params
-        payload = ckpt.restore(_live_state_dir(path))
+        payload = ckpt.restore(state_dir)
         restored = payload["params"]
-        # re-impose the template treedef (orbax returns plain dicts)
-        treedef = jax.tree.structure(jax.device_get(params_template))
+        # re-impose the template treedef (orbax returns plain dicts;
+        # structure needs no host copy of the leaves)
+        treedef = jax.tree.structure(params_template)
         return jax.tree.unflatten(treedef, jax.tree.leaves(restored))
     # fall back to full-state npz. Dict flattening is KEY-SORTED
     # ('opt_state' < 'params' < 'rng' < 'step'), so the params leaves sit

@@ -156,6 +156,9 @@ def build_everything(cfg: TrainConfig, mesh=None):
     tx = build_optimizer(
         cfg.opt, sched, cfg.beta1, cfg.beta2, grad_clip=cfg.grad_clip,
         weight_decay=cfg.weight_decay,
+        moment_dtype=(
+            jnp.bfloat16 if cfg.opt_moment_dtype == "bfloat16" else None
+        ),
     )
 
     x0 = jnp.zeros(
@@ -216,7 +219,9 @@ def train(
         # trajectory continues step-for-step (tests/test_checkpoint_loop.py
         # ::test_kill_and_resume_trajectory).
         state = restore_checkpoint(cfg.resume_path, state)
-        done = int(np.asarray(jax.device_get(state.step)))
+        # rank-0-safe fetch (plain device_get of the rank-0 step counter
+        # is unimplemented on the tunneled TPU backend)
+        done = int(_fetch(state.step))
         start_epoch = min(done // steps_per_epoch, cfg.epochs)
         train_dl.set_epoch(start_epoch)
         writer.text(
@@ -270,6 +275,7 @@ def train(
     step_fn = make_train_step(
         t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale,
         time_major=time_major, ones_mask=ones_mask,
+        grad_accum=cfg.grad_accum,
     )
     roll_fn = make_eval_rollout(t_bundle=cfg.T_bundle)
 
@@ -327,15 +333,22 @@ def train(
             # reference analogue train_temporal.py:240-245 is dead code).
             # Compare against an EMA, not the previous batch: mixture
             # batches legitimately differ by >10x between datasets.
-            exploded = (
-                rollback_on
-                and loss_ema is not None
-                and it > cfg.rollback_warmup_steps
-                and (loss_v > cfg.rollback_factor * loss_ema or not np.isfinite(loss_v))
+            # a non-finite loss is never a false positive — trigger the
+            # restore even before the EMA/warmup have populated (a run
+            # that NaNs on its first batches must not train NaN to
+            # completion just because no finite loss ever seeded the EMA)
+            exploded = rollback_on and (
+                not np.isfinite(loss_v)
+                or (
+                    loss_ema is not None
+                    and it > cfg.rollback_warmup_steps
+                    and loss_v > cfg.rollback_factor * loss_ema
+                )
             )
             if exploded:
+                ema_s = f"{loss_ema:.3g}" if loss_ema is not None else "unset"
                 writer.text(
-                    f"loss explodes ({loss_v:.3g} vs ema {loss_ema:.3g}), "
+                    f"loss explodes ({loss_v:.3g} vs ema {ema_s}), "
                     "restoring previous good state"
                 )
                 state = state.replace(
@@ -405,8 +418,18 @@ def train(
                 s_sum += _fetch(out["loss_step"])
                 f_sum += _fetch(out["loss_full"])
                 n_seen += x.shape[0] * jax.process_count()
-            steps = max(y.shape[-2] / cfg.T_bundle, 1)
-            n_seen = max(n_seen, 1)
+            if n_seen == 0:
+                # the sharded loader skipped every batch (test set smaller
+                # than a divisible global batch): say so instead of
+                # reporting a perfect 0.0 from an empty sum
+                writer.text(
+                    f"eval dataset {cfg.test_paths[di]} produced no batches "
+                    "under this batch/shard config; metrics omitted"
+                )
+                test_l2_steps.append(float("nan"))
+                test_l2_fulls.append(float("nan"))
+                continue
+            steps = max(t_y / cfg.T_bundle, 1)
             test_l2_steps.append(s_sum / n_seen / steps)
             test_l2_fulls.append(f_sum / n_seen)
             if writer.log_dir:

@@ -425,6 +425,122 @@ def test_crash_mid_swap_falls_back_to_state_new(tmp_path):
     shutil.rmtree(path)
 
 
+def test_interrupted_swap_promoted_before_next_write(tmp_path, monkeypatch):
+    """After a crash mid-swap (only state.new on disk), the NEXT save must
+    first complete the interrupted swap — so even if that save's write
+    FAILS, a restorable checkpoint still exists (the old behavior rmtree'd
+    state.new, the only valid checkpoint, before writing)."""
+    import dpot_tpu.train.checkpoint as ck
+
+    if not ck._HAS_ORBAX:
+        import pytest
+
+        pytest.skip("orbax path only")
+
+    model, state = small_state()
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state)
+    os.rename(os.path.join(path, "state"), os.path.join(path, "state.new"))
+
+    class BoomCkpt:
+        def save(self, *a, **k):
+            raise OSError("disk full")
+
+        def wait_until_finished(self):
+            pass
+
+    monkeypatch.setattr(ck.ocp, "StandardCheckpointer", BoomCkpt)
+    try:
+        save_checkpoint(path, state.replace(step=state.step + 1))
+        raise AssertionError("expected the forged write failure")
+    except OSError:
+        pass
+    # the interrupted swap was completed before the failing write started
+    assert os.path.exists(os.path.join(path, "state"))
+    monkeypatch.undo()
+    _, fresh = small_state(seed=5)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == int(jax.device_get(state.step))
+
+
+def test_nan_from_first_batch_triggers_rollback(tmp_path, monkeypatch):
+    """A run whose loss is non-finite from the very first batches must
+    trigger the rollback restore even though no finite loss ever populated
+    the EMA (previously `exploded` required loss_ema is not None, so an
+    immediately-NaN run trained NaN to completion)."""
+    import dpot_tpu.train.loop as loop_mod
+    from dpot_tpu.data.registry import make_synthetic_spec
+
+    make_synthetic_spec(
+        "nan0", train_size=32, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+    calls = {"n": 0}
+    real_fetch = loop_mod._fetch
+
+    def fake_fetch(x):
+        calls["n"] += 1
+        if calls["n"] <= 4:  # batches 1-2 (2 fetches per drained batch)
+            return float("nan")
+        return real_fetch(x)
+
+    monkeypatch.setattr(loop_mod, "_fetch", fake_fetch)
+    cfg = TrainConfig(
+        model="DPOT", train_paths=["nan0"], res=16, patch_size=4, width=32,
+        n_layers=1, n_blocks=4, modes=4, T_in=6, batch_size=8, epochs=1,
+        num_workers=2, lr=1e-3, opt="adam", use_writer=True,
+        rollback_factor=2.0, rollback_warmup_steps=5,
+        rollback_snapshot_steps=2,
+    )
+    train(cfg, log_dir=str(tmp_path / "run"))
+    logs = (tmp_path / "run" / "logs.txt").read_text()
+    # the forged-NaN batches each triggered a restore (no EMA needed)
+    assert logs.count("restoring previous good state") == 2
+
+
+def test_empty_eval_loader_reports_nan_not_zero(tmp_path, monkeypatch):
+    """A test DataLoader that yields no batches (sharded loader skipped a
+    non-divisible set) must report NaN + a log line — not a perfect 0.0
+    computed from an empty sum and a stale train-loop `y`."""
+    import dpot_tpu.train.loop as loop_mod
+    from dpot_tpu.data.registry import make_synthetic_spec
+
+    make_synthetic_spec(
+        "emptyev", train_size=16, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+
+    real_loader = loop_mod.DataLoader
+
+    class MaybeEmptyLoader:
+        """Delegates to the real loader; eval loaders (shuffle=False)
+        yield nothing, simulating the sharded skip-all case."""
+
+        def __init__(self, ds, batch_size, shuffle=False, **kw):
+            self._dl = real_loader(ds, batch_size, shuffle=shuffle, **kw)
+            self._empty = not shuffle
+
+        def __len__(self):
+            return 0 if self._empty else len(self._dl)
+
+        def __iter__(self):
+            return iter(()) if self._empty else iter(self._dl)
+
+        def __getattr__(self, k):
+            return getattr(self._dl, k)
+
+    monkeypatch.setattr(loop_mod, "DataLoader", MaybeEmptyLoader)
+    cfg = TrainConfig(
+        model="DPOT", train_paths=["emptyev"], res=16, patch_size=4,
+        width=32, n_layers=1, n_blocks=4, modes=4, T_in=6, batch_size=8,
+        epochs=1, num_workers=2, lr=1e-3, opt="adam", use_writer=True,
+    )
+    out = train(cfg, log_dir=str(tmp_path / "run"))
+    logs = (tmp_path / "run" / "logs.txt").read_text()
+    assert "produced no batches" in logs
+    assert np.isnan(out["test_l2_steps"][0]) and np.isnan(out["test_l2_fulls"][0])
+
+
 def test_host_fetch_rank0_and_passthrough():
     """utils.profiling.host_fetch: rank-0 device scalars travel via the
     (1,1)-reshape workaround, numpy/python leaves pass through untouched
