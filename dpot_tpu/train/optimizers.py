@@ -56,6 +56,7 @@ def adam(
     eps: float = 1e-8,
     weight_decay: float = 1e-6,
     clip_norm: Optional[float] = None,
+    moment_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """Reference Adam (utils/optimizer.py:9-52): coupled weight decay,
     bias-corrected, complex-safe. clip_norm fuses the global-norm grad
@@ -65,8 +66,8 @@ def adam(
     def init(params):
         return AdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(jnp.zeros_like, params),
-            nu=jax.tree.map(lambda p: jnp.zeros(p.shape, _real_dtype(p)), params),
+            mu=_moment_init(params, moment_dtype),
+            nu=_moment_init(params, moment_dtype, real_only=True),
             grad_norm=jnp.zeros([], jnp.float32),
         )
 
@@ -80,23 +81,28 @@ def adam(
             if clip_norm is not None
             else 1.0
         )
+        # accumulate in the grad's (f32/c64) precision, store in the
+        # moment's dtype (a no-op unless moment_dtype narrows it)
         mu = jax.tree.map(
-            lambda m, g, p: b1 * m + (1 - b1) * (g * cs + weight_decay * p),
+            lambda m, g, p: (
+                b1 * m + (1 - b1) * (g * cs + weight_decay * p)
+            ).astype(m.dtype),
             state.mu, grads, params,
         )
         nu = jax.tree.map(
-            lambda v, g, p: b2 * v
-            + (1 - b2) * _abs_sq(g * cs + weight_decay * p),
+            lambda v, g, p: (
+                b2 * v + (1 - b2) * _abs_sq(g * cs + weight_decay * p)
+            ).astype(v.dtype),
             state.nu, grads, params,
         )
         lr = _lr_at(learning_rate, state.count)
         step_size = lr / bc1
 
-        def upd(m, v):
-            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
-            return (-step_size * (m / denom)).astype(m.dtype)
+        def upd(p, m, v):
+            denom = jnp.sqrt(v.astype(_real_dtype(p))) / jnp.sqrt(bc2) + eps
+            return (-step_size * (m.astype(p.dtype) / denom)).astype(p.dtype)
 
-        updates = jax.tree.map(upd, mu, nu)
+        updates = jax.tree.map(upd, params, mu, nu)
         return updates, AdamState(count=count, mu=mu, nu=nu, grad_norm=gnorm)
 
     return optax.GradientTransformation(init, update)
@@ -109,6 +115,7 @@ def adamw(
     eps: float = 1e-8,
     weight_decay: float = 1e-2,
     clip_norm: Optional[float] = None,
+    moment_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """Reference AdamW (utils/optimizer.py:170-212): decoupled decay
     p *= (1 - lr*wd) folded into the additive update."""
@@ -116,8 +123,8 @@ def adamw(
     def init(params):
         return AdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(jnp.zeros_like, params),
-            nu=jax.tree.map(lambda p: jnp.zeros(p.shape, _real_dtype(p)), params),
+            mu=_moment_init(params, moment_dtype),
+            nu=_moment_init(params, moment_dtype, real_only=True),
             grad_norm=jnp.zeros([], jnp.float32),
         )
 
@@ -132,17 +139,21 @@ def adamw(
             else 1.0
         )
         mu = jax.tree.map(
-            lambda m, g: b1 * m + (1 - b1) * (g * cs), state.mu, grads
+            lambda m, g: (b1 * m + (1 - b1) * (g * cs)).astype(m.dtype),
+            state.mu, grads,
         )
         nu = jax.tree.map(
-            lambda v, g: b2 * v + (1 - b2) * _abs_sq(g * cs), state.nu, grads
+            lambda v, g: (b2 * v + (1 - b2) * _abs_sq(g * cs)).astype(v.dtype),
+            state.nu, grads,
         )
         lr = _lr_at(learning_rate, state.count)
         step_size = lr / bc1
 
         def upd(p, m, v):
-            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
-            return (-lr * weight_decay * p - step_size * (m / denom)).astype(p.dtype)
+            denom = jnp.sqrt(v.astype(_real_dtype(p))) / jnp.sqrt(bc2) + eps
+            return (
+                -lr * weight_decay * p - step_size * (m.astype(p.dtype) / denom)
+            ).astype(p.dtype)
 
         updates = jax.tree.map(upd, params, mu, nu)
         return updates, AdamState(count=count, mu=mu, nu=nu, grad_norm=gnorm)
@@ -160,6 +171,7 @@ def lamb(
     adam_mode: bool = True,
     debias: bool = False,
     clip_norm: Optional[float] = None,
+    moment_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """Reference Lamb (utils/optimizer.py:380-499). The training scripts run
     it with adam=True, debias=False (train_temporal.py:133): no bias
@@ -169,8 +181,8 @@ def lamb(
     def init(params):
         return AdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(jnp.zeros_like, params),
-            nu=jax.tree.map(lambda p: jnp.zeros(p.shape, _real_dtype(p)), params),
+            mu=_moment_init(params, moment_dtype),
+            nu=_moment_init(params, moment_dtype, real_only=True),
             grad_norm=jnp.zeros([], jnp.float32),
         )
 
@@ -183,10 +195,12 @@ def lamb(
             else 1.0
         )
         mu = jax.tree.map(
-            lambda m, g: b1 * m + (1 - b1) * (g * cs), state.mu, grads
+            lambda m, g: (b1 * m + (1 - b1) * (g * cs)).astype(m.dtype),
+            state.mu, grads,
         )
         nu = jax.tree.map(
-            lambda v, g: b2 * v + (1 - b2) * _abs_sq(g * cs), state.nu, grads
+            lambda v, g: (b2 * v + (1 - b2) * _abs_sq(g * cs)).astype(v.dtype),
+            state.nu, grads,
         )
         if debias:
             cf = count.astype(jnp.float32)
@@ -197,7 +211,7 @@ def lamb(
         step_size = lr * bias_correction
 
         def upd(p, m, v):
-            adam_step = m / (jnp.sqrt(v) + eps)
+            adam_step = m.astype(p.dtype) / (jnp.sqrt(v.astype(_real_dtype(p))) + eps)
             if weight_decay != 0.0:
                 adam_step = adam_step + weight_decay * p
             if adam_mode:
@@ -222,6 +236,24 @@ def lamb(
 
 def _real_dtype(p: jax.Array) -> jnp.dtype:
     return jnp.zeros((), p.dtype).real.dtype
+
+
+def _moment_init(params, moment_dtype, real_only=False):
+    """Zero moments, optionally stored in a reduced dtype (bf16 halves the
+    optimizer's HBM residency AND its read+write traffic — the optimizer
+    pass is HBM-bound, CLAUDE.md measured it AT its roofline with f32
+    moments). Complex leaves keep their complex dtype (no complex-bf16);
+    real_only also maps complex params to their real dtype (|g|^2 second
+    moment). Accumulation happens in f32 (bf16*f32 promotes), only the
+    STORED moment is cast — see the update rules."""
+
+    def one(p):
+        dt = _real_dtype(p) if real_only else p.dtype
+        if moment_dtype is not None and not jnp.issubdtype(dt, jnp.complexfloating):
+            dt = moment_dtype
+        return jnp.zeros(p.shape, dt)
+
+    return jax.tree.map(one, params)
 
 
 def clip_by_global_norm(max_norm: float) -> optax.GradientTransformation:
@@ -250,25 +282,32 @@ def build_optimizer(
     beta2: float = 0.999,
     grad_clip: Optional[float] = None,
     weight_decay: Optional[float] = None,
+    moment_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
-    """Optimizer dispatch matching train_temporal.py:131-135 defaults."""
+    """Optimizer dispatch matching train_temporal.py:131-135 defaults.
+
+    moment_dtype=jnp.bfloat16 stores BOTH moments in bf16 (accumulation
+    stays f32): halves the optimizer state's HBM residency (-4.1 GB at
+    DPOT-H) and its memory traffic (the optimizer pass is HBM-roofline-
+    bound — measured, CLAUDE.md). Off by default: f32 moments are the
+    reference-exact configuration."""
     if name == "adam":
         tx = adam(
             learning_rate, beta1, beta2,
             weight_decay=1e-6 if weight_decay is None else weight_decay,
-            clip_norm=grad_clip,
+            clip_norm=grad_clip, moment_dtype=moment_dtype,
         )
     elif name == "adamw":
         tx = adamw(
             learning_rate, beta1, beta2,
             weight_decay=1e-2 if weight_decay is None else weight_decay,
-            clip_norm=grad_clip,
+            clip_norm=grad_clip, moment_dtype=moment_dtype,
         )
     elif name == "lamb":
         tx = lamb(
             learning_rate, beta1, beta2,
             weight_decay=1e-4 if weight_decay is None else weight_decay,
-            clip_norm=grad_clip,
+            clip_norm=grad_clip, moment_dtype=moment_dtype,
         )
     else:
         raise ValueError(f"unknown optimizer {name!r}")

@@ -43,6 +43,7 @@ def make_train_step(
     donate: bool = True,
     time_major: bool = False,
     ones_mask: bool = False,
+    grad_accum: int = 1,
 ) -> Callable[[TrainState, dict[str, jax.Array]], tuple[TrainState, dict]]:
     """Build a jitted train step.
 
@@ -50,6 +51,17 @@ def make_train_step(
     cls=(B,)). The number of rollout steps T_ar // t_bundle is static, so
     the rollout unrolls inside jit exactly like the reference's Python loop
     unrolls in autograd.
+
+    grad_accum=N splits the batch into N microbatches and lax.scan's the
+    fwd+bwd over them, summing gradients before ONE optimizer update. The
+    update equals the full-batch step exactly (the loss is summed over the
+    batch, so microbatch gradients ADD; grad-clip/optimizer see the same
+    total gradient) while activation memory drops to 1/N — the lever for
+    large effective batches at H scale, where activations, not weights,
+    bound the batch size (no reference analogue; torch would need manual
+    loss.backward() accumulation). Noise draws stay per-microbatch
+    (stream split N ways), so noise_scale>0 trajectories differ from the
+    full-batch run in the draws, not the semantics.
 
     time_major=True accepts x=(B,T_in,spatial...,C) / y=(B,T_ar,spatial...,C)
     — the ingest fast path's layout (time-major corpora window as one
@@ -126,13 +138,62 @@ def make_train_step(
             aux["batch_stats"] = stats
         return loss, aux
 
+    def _accum_grads(state, batch, step_rng):
+        """lax.scan fwd+bwd over grad_accum microbatches; gradients and the
+        summed aux counters ADD to exactly the full-batch values (losses
+        are batch sums). One microbatch's activations live at a time."""
+        n = grad_accum
+        B = batch["x"].shape[0]
+        assert B % n == 0, (
+            f"batch {B} must divide into grad_accum={n} microbatches"
+        )
+        micro = jax.tree.map(
+            lambda a: a.reshape(n, B // n, *a.shape[1:]), batch
+        )
+        rngs = jax.random.split(step_rng, n)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        has_stats = hasattr(state.params, "keys") and "batch_stats" in state.params
+
+        def body(carry, mb_rng):
+            gsum, asum, stats = carry
+            mb, r = mb_rng
+            params = (
+                {**state.params, "batch_stats": stats} if has_stats
+                else state.params
+            )
+            (_, aux), g = grad_fn(params, state.apply_fn, mb, r)
+            new_stats = aux.pop("batch_stats", stats)
+            aux.pop("n_steps")
+            return (
+                jax.tree.map(jnp.add, gsum, g),
+                jax.tree.map(jnp.add, asum, aux),
+                new_stats,
+            ), None
+
+        g0 = jax.tree.map(jnp.zeros_like, state.params)
+        a0 = {
+            k: jnp.zeros((), jnp.float32)
+            for k in ("loss_step", "loss_full", "cls_loss", "cls_correct")
+        }
+        s0 = state.params["batch_stats"] if has_stats else 0
+        (grads, aux, stats), _ = jax.lax.scan(body, (g0, a0, s0), (micro, rngs))
+        # n_steps is shape-static — recover it without a scan carry
+        t_ar = batch["y"].shape[1] if time_major else batch["y"].shape[-2]
+        aux["n_steps"] = jnp.asarray(max(t_ar // t_bundle, 1), jnp.float32)
+        if has_stats:
+            aux["batch_stats"] = stats
+        return aux["loss_step"], aux, grads
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
         rng, step_rng = jax.random.split(state.rng)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, aux), grads = grad_fn(
-            state.params, state.apply_fn, batch, step_rng
-        )
+        if grad_accum > 1:
+            loss, aux, grads = _accum_grads(state, batch, step_rng)
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, aux), grads = grad_fn(
+                state.params, state.apply_fn, batch, step_rng
+            )
         new_state = state.apply_gradients(grads).replace(rng=rng)
         if "batch_stats" in aux:
             # running stats are state, not weights: overwrite whatever the

@@ -118,3 +118,53 @@ def test_build_optimizer_dispatch():
         s = tx.init(p)
         u, _ = tx.update({"w": jnp.ones((2, 2))}, s, p)
         assert jnp.isfinite(u["w"]).all()
+
+
+def test_bf16_moments_track_f32():
+    """moment_dtype=bf16: moments STORE in bf16 (complex leaves keep c64),
+    updates stay param-dtype, and a short trajectory tracks the f32-moment
+    optimizer closely (accumulation happens in f32; only storage narrows)."""
+    import jax
+    import jax.numpy as jnp
+    from dpot_tpu.train.optimizers import build_optimizer
+
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((16, 16)), jnp.float32),
+        "c": jnp.asarray(
+            rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4)),
+            jnp.complex64,
+        ),
+    }
+
+    def run(moment_dtype):
+        tx = build_optimizer(
+            "lamb", 1e-2, grad_clip=1.0, moment_dtype=moment_dtype
+        )
+        p = params
+        st = tx.init(p)
+        for i in range(5):
+            g = jax.tree.map(
+                lambda x: (0.1 * (i + 1) * x).astype(x.dtype), p
+            )
+            upd, st = tx.update(g, st, p)
+            p = jax.tree.map(jnp.add, p, upd)
+        return p, st
+
+    p32, _ = run(None)
+    pbf, st = run(jnp.bfloat16)
+    assert st.mu["w"].dtype == jnp.bfloat16
+    assert st.nu["w"].dtype == jnp.bfloat16
+    assert st.mu["c"].dtype == jnp.complex64  # no complex-bf16
+    assert st.nu["c"].dtype == jnp.bfloat16  # |g|^2 is real
+    assert pbf["w"].dtype == jnp.float32  # updates stay param dtype
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(p32[k]), np.asarray(pbf[k]), rtol=2e-2, atol=2e-3
+        )
+    # and every optimizer accepts the knob
+    for name in ("adam", "adamw"):
+        tx = build_optimizer(name, 1e-3, moment_dtype=jnp.bfloat16)
+        st = tx.init(params)
+        upd, _ = tx.update(params, st, params)
+        assert jax.tree.leaves(upd)[0].dtype in (jnp.float32, jnp.complex64)

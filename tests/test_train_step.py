@@ -181,3 +181,107 @@ def test_rel_lp_loss_zero_target_guard():
     msk = jnp.ones((2, 8, 8, 1, 2))
     v = float(jnp.reshape(rel_lp_loss(pred, y, msk), (1, 1))[0, 0])
     assert np.isfinite(v)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=N is an execution schedule, not an approximation: the
+    summed microbatch gradients equal the full-batch gradient (losses are
+    batch sums), so the post-step params/opt state/metrics match the
+    full-batch step to reduction-order tolerance."""
+    model, params, batch = tiny_model_and_batch(B=8, T_ar=2)
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+
+    def run(ga, n_steps=3):
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=tx, rng=jax.random.key(1)
+        )
+        step = make_train_step(t_bundle=1, donate=False, grad_accum=ga)
+        for _ in range(n_steps):
+            state, aux = step(state, batch)
+        return state, aux
+
+    s1, a1 = run(1)
+    s4, a4 = run(4)
+    np.testing.assert_allclose(
+        float(a1["loss_step"]), float(a4["loss_step"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(a1["loss_full"]), float(a4["loss_full"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(a1["cls_loss"]), float(a4["cls_loss"]), rtol=1e-5
+    )
+    assert float(a1["cls_correct"]) == float(a4["cls_correct"])
+    assert float(a1["n_steps"]) == float(a4["n_steps"]) == 2.0
+    for p1, p4 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p4), rtol=2e-4, atol=2e-6
+        )
+    assert int(s1.step) == int(s4.step) == 3
+
+
+def test_grad_accum_batch_stats_thread():
+    """grad_accum threads UNet's BatchNorm running stats microbatch ->
+    microbatch (each sees the previous one's update, like N sequential
+    forward passes), and the returned stats differ from the originals."""
+    from dpot_tpu.models import build_model
+
+    model = build_model(
+        "UNet", img_size=16, patch_size=4, in_channels=2, out_channels=2,
+        in_timesteps=4, out_timesteps=1, modes=4, n_cls=2, embed_dim=32,
+        depth=1, n_blocks=4, out_layer_dim=8,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 16, 16, 4, 2)).astype(np.float32)
+    y = x[..., -1:, :]
+    batch = {
+        "x": jnp.asarray(x), "y": jnp.asarray(y),
+        "msk": jnp.ones((8, 16, 16, 1, 2), jnp.float32),
+        "cls": jnp.zeros((8,), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch["x"])
+    assert "batch_stats" in params
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, rng=jax.random.key(1),
+    )
+    step = make_train_step(t_bundle=1, donate=False, grad_accum=2)
+    new_state, aux = step(state, batch)
+    assert np.isfinite(float(aux["loss_step"]))
+    before = jax.tree.leaves(params["batch_stats"])
+    after = jax.tree.leaves(new_state.params["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    )
+
+
+def test_grad_accum_composes_with_data_parallel():
+    """grad_accum under DP: the microbatch reshape splits the (sharded)
+    leading axis, so each device scans over its own microbatch slices; the
+    summed-gradient psum must still equal the single-device full-batch
+    step."""
+    model, params, batch = tiny_model_and_batch(B=16, T_ar=1)
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+
+    s1 = TrainState.create(model.apply, params, tx, jax.random.key(3))
+    step_full = make_train_step(t_bundle=1, noise_scale=0.0, donate=False)
+    s1, aux1 = step_full(s1, batch)
+
+    mesh = make_mesh(data=8, spatial=1)
+    sharded = shard_batch(batch, mesh)
+    s2 = TrainState.create(model.apply, params, tx, jax.random.key(3))
+    s2 = replicate(s2, mesh)
+    step_ga = make_train_step(
+        t_bundle=1, noise_scale=0.0, donate=False, grad_accum=2
+    )
+    s2, aux2 = step_ga(s2, sharded)
+
+    np.testing.assert_allclose(
+        float(aux1["loss_step"]), float(aux2["loss_step"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(s1.params),
+        jax.tree.leaves(jax.device_get(s2.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
