@@ -44,6 +44,7 @@ def make_train_step(
     time_major: bool = False,
     ones_mask: bool = False,
     grad_accum: int = 1,
+    scan_steps: int = 1,
 ) -> Callable[[TrainState, dict[str, jax.Array]], tuple[TrainState, dict]]:
     """Build a jitted train step.
 
@@ -51,6 +52,12 @@ def make_train_step(
     cls=(B,)). The number of rollout steps T_ar // t_bundle is static, so
     the rollout unrolls inside jit exactly like the reference's Python loop
     unrolls in autograd.
+
+    scan_steps=K returns a MULTI-step function: it takes batch leaves with
+    a leading (K,) axis (K stacked batches), lax.scan's K full train steps
+    in ONE dispatch, and returns aux leaves stacked (K,). Exactly the
+    same trajectory as K sequential calls; amortizes per-dispatch host
+    cost, the throughput bound for small presets.
 
     grad_accum=N splits the batch into N microbatches and lax.scan's the
     fwd+bwd over them, summing gradients before ONE optimizer update. The
@@ -184,8 +191,7 @@ def make_train_step(
             aux["batch_stats"] = stats
         return aux["loss_step"], aux, grads
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
+    def step_core(state: TrainState, batch) -> tuple[TrainState, dict]:
         rng, step_rng = jax.random.split(state.rng)
         if grad_accum > 1:
             loss, aux, grads = _accum_grads(state, batch, step_rng)
@@ -227,7 +233,20 @@ def make_train_step(
         aux["grad_norm"] = gnorm
         return new_state, aux
 
-    return train_step
+    if scan_steps <= 1:
+        return jax.jit(step_core, donate_argnums=(0,) if donate else ())
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_multi(state: TrainState, batches) -> tuple[TrainState, dict]:
+        # K steps fused into ONE dispatch: batch leaves carry a leading
+        # (scan_steps,) axis; aux leaves come back stacked (K,). Bit-for-
+        # bit the same trajectory as K sequential calls (the scan body IS
+        # step_core, rng threads through the carried state) — this buys
+        # dispatch amortization, which is what bounds the SMALL presets
+        # (Ti is host-dispatch-bound at ~5 ms/step over the tunnel).
+        return jax.lax.scan(step_core, state, batches)
+
+    return train_multi
 
 
 def make_eval_rollout(

@@ -256,6 +256,7 @@ def test_grad_accum_batch_stats_thread():
     )
 
 
+@pytest.mark.multichip
 def test_grad_accum_composes_with_data_parallel():
     """grad_accum under DP: the microbatch reshape splits the (sharded)
     leading axis, so each device scans over its own microbatch slices; the
@@ -285,3 +286,52 @@ def test_grad_accum_composes_with_data_parallel():
         jax.tree.leaves(jax.device_get(s2.params)),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_scan_steps_matches_sequential():
+    """make_train_step(scan_steps=K) over K stacked batches must reproduce
+    K sequential single-step calls exactly (same ops, rng threaded through
+    the carried state) — incl. per-step aux, stacked (K,)."""
+    model, params, batch = tiny_model_and_batch(B=4, T_ar=1)
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+    K = 3
+    rng = np.random.default_rng(1)
+    batches = [
+        {
+            "x": jnp.asarray(rng.standard_normal(batch["x"].shape), jnp.float32),
+            "y": jnp.asarray(rng.standard_normal(batch["y"].shape), jnp.float32),
+            "msk": batch["msk"],
+            "cls": batch["cls"],
+        }
+        for _ in range(K)
+    ]
+
+    s_seq = TrainState.create(model.apply, params, tx, jax.random.key(7))
+    step1 = make_train_step(t_bundle=1, noise_scale=1e-3, donate=False)
+    seq_aux = []
+    for b in batches:
+        s_seq, aux = step1(s_seq, b)
+        seq_aux.append(float(aux["loss_step"]))
+
+    s_scan = TrainState.create(model.apply, params, tx, jax.random.key(7))
+    stepK = make_train_step(
+        t_bundle=1, noise_scale=1e-3, donate=False, scan_steps=K
+    )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    s_scan, auxK = stepK(s_scan, stacked)
+
+    assert auxK["loss_step"].shape == (K,)
+    np.testing.assert_allclose(
+        np.asarray(auxK["loss_step"]), seq_aux, rtol=1e-6
+    )
+    assert int(s_scan.step) == int(s_seq.step) == K
+    for a, b in zip(
+        jax.tree.leaves(s_seq.params), jax.tree.leaves(s_scan.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
+    # the rng stream advanced identically (next draws match)
+    k1 = jax.random.normal(jax.random.split(s_seq.rng)[1], (3,))
+    k2 = jax.random.normal(jax.random.split(s_scan.rng)[1], (3,))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
