@@ -50,11 +50,17 @@ def make_mesh(
     return Mesh(arr, ("data", "pipe", "spatial", "model"))
 
 
-def batch_spec(ndim: int, spatial_sharded: bool = False) -> P:
+def batch_spec(
+    ndim: int, spatial_sharded: bool = False, scan_axis: bool = False
+) -> P:
     """PartitionSpec for a (B, H, W, ..., T, C) batch tensor: batch over
-    'data', optionally H over 'spatial'."""
-    parts: list = ["data"]
-    if ndim > 1:
+    'data', optionally H over 'spatial'. scan_axis=True prepends an
+    UNSHARDED leading axis — the (K, B, ...) layout of a fused K-step
+    dispatch (train/step.py scan_steps), where lax.scan slices axis 0 and
+    each per-step slice keeps its 'data' sharding on what becomes the
+    batch axis."""
+    parts: list = [None, "data"] if scan_axis else ["data"]
+    if ndim > len(parts):
         parts.append("spatial" if spatial_sharded else None)
     parts += [None] * (ndim - len(parts))
     return P(*parts)
@@ -68,8 +74,15 @@ def replicated_fallback_count() -> int:
     return _replicated_fallbacks
 
 
-def shard_batch(batch: dict, mesh: Mesh, spatial_sharded: bool = False) -> dict:
+def shard_batch(
+    batch: dict,
+    mesh: Mesh,
+    spatial_sharded: bool = False,
+    scan_axis: bool = False,
+) -> dict:
     """Place a host batch dict onto the mesh, batch-sharded over 'data'.
+    scan_axis=True expects (K, B, ...) leaves (fused multi-step dispatch,
+    batch_spec) and shards axis 1 instead.
 
     Falls back to replicated placement for arrays whose leading dim does not
     divide the 'data' axis (e.g. a trailing partial batch) — correctness is
@@ -82,8 +95,12 @@ def shard_batch(batch: dict, mesh: Mesh, spatial_sharded: bool = False) -> dict:
     n_data = mesh.shape["data"]
     out = {}
     for k, v in batch.items():
-        if np.ndim(v) > 0 and np.shape(v)[0] % n_data == 0:
-            spec = batch_spec(np.ndim(v), spatial_sharded)
+        batch_axis = 1 if scan_axis and np.ndim(v) > 1 else 0
+        if np.ndim(v) > 0 and np.shape(v)[batch_axis] % n_data == 0:
+            spec = batch_spec(
+                np.ndim(v), spatial_sharded,
+                scan_axis=scan_axis and np.ndim(v) > 1,
+            )
         else:
             spec = P()
             if np.ndim(v) > 0 and n_data > 1:

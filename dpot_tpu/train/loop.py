@@ -99,6 +99,16 @@ def _restore_from_snapshot(snap_tree, live_tree):
     return jax.tree.map(put, snap_tree, live_tree)
 
 
+def _opt_steps_per_epoch(cfg: TrainConfig, train_dl, train_ds) -> int:
+    """OPTIMIZER steps per epoch — the schedule/resume unit. Equals
+    len(train_dl) at steps_per_dispatch=1; with K-fused dispatches the
+    loader batches are K*B but tails split back into B-sized single steps,
+    so the count stays ceil(n / B) — identical to the K=1 run."""
+    if max(cfg.steps_per_dispatch, 1) == 1:
+        return max(len(train_dl), 1)
+    return max(-(-len(train_ds) // cfg.batch_size), 1)
+
+
 def build_everything(cfg: TrainConfig, mesh=None):
     train_ds = MixedTemporalDataset(
         cfg.train_paths, cfg.ntrain_list, res=cfg.res, t_in=cfg.T_in,
@@ -117,9 +127,14 @@ def build_everything(cfg: TrainConfig, mesh=None):
     shard_kw = dict(
         num_shards=jax.process_count(), shard_index=jax.process_index()
     )
+    # steps_per_dispatch=K: the loader hands out K optimizer steps' worth
+    # of samples per batch; the loop reshapes (K*B, ...) -> (K, B, ...)
+    # host-side (a free numpy view) and fuses the K steps into one device
+    # dispatch (train/step.py scan_steps)
+    K = max(cfg.steps_per_dispatch, 1)
     train_dl = DataLoader(
-        train_ds, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers,
-        seed=cfg.seed, **shard_kw,
+        train_ds, cfg.batch_size * K, shuffle=True,
+        num_workers=cfg.num_workers, seed=cfg.seed, **shard_kw,
     )
     test_dls = [
         DataLoader(ds, cfg.batch_size, shuffle=False,
@@ -149,7 +164,8 @@ def build_everything(cfg: TrainConfig, mesh=None):
     )
 
     sched = build_schedule(
-        cfg.lr_method, cfg.lr, max(len(train_dl), 1), cfg.epochs,
+        cfg.lr_method, cfg.lr, _opt_steps_per_epoch(cfg, train_dl, train_ds),
+        cfg.epochs,
         warmup_epochs=cfg.warmup_epochs, step_size=cfg.step_size,
         step_gamma=cfg.step_gamma, lr_step_size=cfg.lr_step_size,
     )
@@ -206,8 +222,18 @@ def train(
 
         ckpt_writer = AsyncCheckpointWriter()
 
+    K = max(cfg.steps_per_dispatch, 1)
+    if K > 1:
+        assert jax.process_count() == 1, (
+            "steps_per_dispatch>1 is single-process only (multihost batch "
+            "assembly ships per-host shards batch-by-batch)"
+        )
+        assert cfg.mesh_spatial == 1, (
+            "steps_per_dispatch does not compose with spatial sharding"
+        )
+
     start_epoch = 0
-    steps_per_epoch = max(len(train_dl), 1)
+    steps_per_epoch = _opt_steps_per_epoch(cfg, train_dl, train_ds)
     if init_params is not None:
         state = state.replace(params=init_params)
         writer.text("starting from caller-provided params")
@@ -272,22 +298,28 @@ def train(
     wire_x = jnp.bfloat16 if wire.startswith("bfloat16") else None
     wire_y = jnp.bfloat16 if wire == "bfloat16" else None
     ones_mask = bool(getattr(train_ds, "train_masks_are_ones", False))
-    step_fn = make_train_step(
+    step_kw = dict(
         t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale,
         time_major=time_major, ones_mask=ones_mask,
         grad_accum=cfg.grad_accum,
     )
+    step_fn = make_train_step(scan_steps=K, **step_kw)
+    # trailing partial loader batches can't fill a K-step dispatch; they
+    # run B-sized chunks through a plain single-step program instead, so
+    # the epoch consumes exactly the sample stream a K=1 run would
+    tail_step_fn = make_train_step(**step_kw) if K > 1 else step_fn
     roll_fn = make_eval_rollout(t_bundle=cfg.T_bundle)
 
     if jax.process_count() > 1:
         from dpot_tpu.parallel.multihost import global_batch_from_local
 
-        def place(b, spatial_sharded=False):
+        def place(b, spatial_sharded=False, scan_axis=False):
             # per-host numpy shards -> one global sharded jax.Array
+            assert not scan_axis  # K>1 asserts single-process above
             return global_batch_from_local(b, mesh, spatial_sharded)
     else:
-        def place(b, spatial_sharded=False):
-            return shard_batch(b, mesh, spatial_sharded)
+        def place(b, spatial_sharded=False, scan_axis=False):
+            return shard_batch(b, mesh, spatial_sharded, scan_axis=scan_axis)
 
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     writer.text(f"model {cfg.model} params {n_params/1e6:.2f}M devices {mesh.devices.size}")
@@ -313,56 +345,97 @@ def train(
         # one-step-lagged metric fetch: step i+1 is dispatched before step
         # i's loss is read back, so the device pipeline never drains (the
         # reference's .item() per step serializes; here only the rollback
-        # check lags one step)
-        pending = None  # (aux, batch_size, steps_per_sample)
+        # check lags one dispatch)
+        pending = None  # (aux, per_step_batch, steps_per_sample, it_at_dispatch)
 
         def drain(pending):
             nonlocal train_l2_step, train_l2_full, train_seen, loss_ema, state
             if pending is None:
                 return
-            aux_p, bsz, sps = pending
-            loss_v = _fetch(aux_p["loss_step"])
-            full_v = _fetch(aux_p["loss_full"])
-            train_l2_step += loss_v
-            train_l2_full += full_v
-            train_seen += bsz
-            if writer.log_dir:
-                writer.scalar("train_loss_step", loss_v / (bsz * sps), it)
-                writer.scalar("train_loss_full", full_v / bsz, it)
-            # failure detection (cfg.rollback_factor; see config.py — the
-            # reference analogue train_temporal.py:240-245 is dead code).
-            # Compare against an EMA, not the previous batch: mixture
-            # batches legitimately differ by >10x between datasets.
-            # a non-finite loss is never a false positive — trigger the
-            # restore even before the EMA/warmup have populated (a run
-            # that NaNs on its first batches must not train NaN to
-            # completion just because no finite loss ever seeded the EMA)
-            exploded = rollback_on and (
-                not np.isfinite(loss_v)
-                or (
-                    loss_ema is not None
-                    and it > cfg.rollback_warmup_steps
-                    and loss_v > cfg.rollback_factor * loss_ema
+            aux_p, bsz, sps, it_d = pending
+            ls, lf = aux_p["loss_step"], aux_p["loss_full"]
+            if getattr(ls, "ndim", 0):
+                # fused K-step dispatch: per-step loss vectors, fetched in
+                # one transfer each (rank-1 D2H is fine on every backend)
+                ls_v = np.asarray(jax.device_get(ls))
+                lf_v = np.asarray(jax.device_get(lf))
+            else:
+                ls_v = np.array([_fetch(ls)])
+                lf_v = np.array([_fetch(lf)])
+            kk = len(ls_v)
+            train_l2_step += float(ls_v.sum())
+            train_l2_full += float(lf_v.sum())
+            train_seen += bsz * kk
+            for j in range(kk):
+                loss_v = float(ls_v[j])
+                step_idx = it_d - kk + 1 + j  # global optimizer step
+                if writer.log_dir:
+                    writer.scalar(
+                        "train_loss_step", loss_v / (bsz * sps), step_idx
+                    )
+                    writer.scalar(
+                        "train_loss_full", float(lf_v[j]) / bsz, step_idx
+                    )
+                # failure detection (cfg.rollback_factor; see config.py —
+                # the reference analogue train_temporal.py:240-245 is dead
+                # code). Compare against an EMA, not the previous batch:
+                # mixture batches legitimately differ by >10x between
+                # datasets. A non-finite loss is never a false positive —
+                # trigger the restore even before the EMA/warmup have
+                # populated (a run that NaNs on its first batches must not
+                # train NaN to completion just because no finite loss ever
+                # seeded the EMA).
+                exploded = rollback_on and (
+                    not np.isfinite(loss_v)
+                    or (
+                        loss_ema is not None
+                        and step_idx > cfg.rollback_warmup_steps
+                        and loss_v > cfg.rollback_factor * loss_ema
+                    )
                 )
-            )
-            if exploded:
-                ema_s = f"{loss_ema:.3g}" if loss_ema is not None else "unset"
-                writer.text(
-                    f"loss explodes ({loss_v:.3g} vs ema {ema_s}), "
-                    "restoring previous good state"
-                )
-                state = state.replace(
-                    params=_restore_from_snapshot(last_good[0], state.params),
-                    opt_state=_restore_from_snapshot(
-                        last_good[1], state.opt_state
-                    ),
-                )
-            elif np.isfinite(loss_v):
-                loss_ema = (
-                    loss_v if loss_ema is None else 0.9 * loss_ema + 0.1 * loss_v
-                )
+                if exploded:
+                    ema_s = (
+                        f"{loss_ema:.3g}" if loss_ema is not None else "unset"
+                    )
+                    writer.text(
+                        f"loss explodes ({loss_v:.3g} vs ema {ema_s}), "
+                        "restoring previous good state"
+                    )
+                    state = state.replace(
+                        params=_restore_from_snapshot(
+                            last_good[0], state.params
+                        ),
+                        opt_state=_restore_from_snapshot(
+                            last_good[1], state.opt_state
+                        ),
+                    )
+                    # the dispatch's remaining sub-steps belong to the
+                    # rolled-back trajectory — don't feed them to the EMA
+                    break
+                elif np.isfinite(loss_v):
+                    loss_ema = (
+                        loss_v
+                        if loss_ema is None
+                        else 0.9 * loss_ema + 0.1 * loss_v
+                    )
 
-        for x, y, msk, cls in train_dl:
+        def dispatch_units(dl):
+            """Loader batches -> dispatch units (x, y, msk, cls, k_unit):
+            a full K*B batch becomes ONE fused K-step dispatch; anything
+            else (the trailing partial) splits into B-sized single-step
+            chunks so the epoch's sample stream matches a K=1 run."""
+            bs = cfg.batch_size
+            for x_, y_, msk_, cls_ in dl:
+                if K == 1 or x_.shape[0] == K * bs:
+                    yield x_, y_, msk_, cls_, K
+                else:
+                    for i in range(0, x_.shape[0], bs):
+                        yield (
+                            x_[i : i + bs], y_[i : i + bs],
+                            msk_[i : i + bs], cls_[i : i + bs], 1,
+                        )
+
+        for x, y, msk, cls, k_unit in dispatch_units(train_dl):
             t_load += time.perf_counter() - t_1
             t_1 = time.perf_counter()
             host_batch = {"x": x, "y": y, "msk": msk, "cls": cls}
@@ -372,23 +445,45 @@ def train(
                 host_batch["x"] = np.asarray(x).astype(wire_x)
             if wire_y is not None:
                 host_batch["y"] = np.asarray(y).astype(wire_y)
-            batch = place(host_batch, spatial_sharded=cfg.mesh_spatial > 1)
-            state, aux = step_fn(state, batch)
             t_ar_axis = 1 if time_major else y.ndim - 2
             steps_per_sample = y.shape[t_ar_axis] / cfg.T_bundle
-            it += 1
+            if k_unit > 1:
+                # (K*B, ...) -> (K, B, ...): a free numpy view; sharded
+                # over 'data' on axis 1 (parallel/mesh.batch_spec)
+                host_batch = {
+                    k2: np.reshape(
+                        v, (k_unit, cfg.batch_size) + np.shape(v)[1:]
+                    )
+                    for k2, v in host_batch.items()
+                }
+                batch = place(host_batch, scan_axis=True)
+                state, aux = step_fn(state, batch)
+            else:
+                batch = place(
+                    host_batch, spatial_sharded=cfg.mesh_spatial > 1
+                )
+                state, aux = tail_step_fn(state, batch)
+            prev_it = it
+            it += k_unit
             drain(pending)
             if (
                 rollback_on
                 and cfg.rollback_snapshot_steps > 0
-                and it % cfg.rollback_snapshot_steps == 0
+                and (it // cfg.rollback_snapshot_steps)
+                != (prev_it // cfg.rollback_snapshot_steps)
             ):
                 # mid-epoch snapshot: an explosion replays at most
-                # rollback_snapshot_steps steps (taken AFTER drain so a
-                # just-detected explosion snapshots the restored state)
+                # rollback_snapshot_steps (+K-1) steps (taken AFTER drain
+                # so a just-detected explosion snapshots the restored state)
                 last_good = take_snapshot(state.params, state.opt_state)
-            # loss_step sums over the GLOBAL batch; x is this host's shard
-            pending = (aux, x.shape[0] * jax.process_count(), steps_per_sample)
+            # loss_step sums over the GLOBAL per-step batch; x is this
+            # host's shard of k_unit steps' samples
+            pending = (
+                aux,
+                x.shape[0] // k_unit * jax.process_count(),
+                steps_per_sample,
+                it,
+            )
             t_train += time.perf_counter() - t_1
             t_1 = time.perf_counter()
         drain(pending)

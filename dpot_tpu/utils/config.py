@@ -61,6 +61,14 @@ class TrainConfig:
     # reference-exact default.
     opt_moment_dtype: str = "float32"
     batch_size: int = 8
+    # >1: fuse K optimizer steps into ONE device dispatch (lax.scan over K
+    # stacked batches, train/step.py scan_steps) — same trajectory, K x
+    # fewer dispatches/host round-trips. The throughput lever for
+    # dispatch-bound small models (Ti/S) and remote-chip topologies.
+    # Trailing partial loader batches fall back to single-step dispatches,
+    # so epochs consume exactly the K=1 sample stream. Single-process,
+    # mesh_spatial=1 only.
+    steps_per_dispatch: int = 1
     # >1: split each batch into N microbatches, scan fwd+bwd over them and
     # apply ONE summed-gradient update — exactly the full-batch step with
     # 1/N the activation memory (train/step.py). The lever for large

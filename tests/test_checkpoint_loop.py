@@ -583,3 +583,52 @@ def test_npz_fallback_params_slicing(tmp_path, monkeypatch):
     restored = ck.restore_checkpoint(str(tmp_path / "npz"), fresh)
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_steps_per_dispatch_matches_sequential(tmp_path):
+    """--steps_per_dispatch 2 must reproduce the K=1 loss trajectory
+    step-for-step: same sample grouping (loader permutation chunking
+    aligns), same rng stream (threaded through the scanned carry), tail
+    batches split back into B-sized single steps. train_size=40, B=8,
+    K=2 -> two fused dispatches + one tail step per epoch (5 optimizer
+    steps, identical to K=1)."""
+    import json
+
+    from dpot_tpu.data.registry import make_synthetic_spec
+
+    make_synthetic_spec(
+        "fuse2", train_size=40, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+    base = dict(
+        model="DPOT", train_paths=["fuse2"], res=16, patch_size=4, width=32,
+        n_layers=1, n_blocks=4, modes=4, T_in=6, batch_size=8, epochs=2,
+        num_workers=2, lr=1e-3, opt="adam", lr_method="cycle",
+        noise_scale=0.05, rollback_factor=0.0, use_writer=True, seed=11,
+    )
+
+    def losses(d):
+        out = []
+        with open(d / "metrics.jsonl") as f:
+            for line in f:
+                r = json.loads(line)
+                if r["tag"] == "train_loss_step":
+                    out.append((r.get("step"), r["value"]))
+        return out
+
+    o1 = train(TrainConfig(**base), log_dir=str(tmp_path / "k1"))
+    o2 = train(
+        TrainConfig(steps_per_dispatch=2, **base),
+        log_dir=str(tmp_path / "k2"),
+    )
+    l1, l2 = losses(tmp_path / "k1"), losses(tmp_path / "k2")
+    assert len(l1) == len(l2) == 10  # 5 optimizer steps/epoch x 2
+    np.testing.assert_allclose(
+        [v for _, v in l2], [v for _, v in l1], rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        o2["test_l2_fulls"], o1["test_l2_fulls"], rtol=1e-4
+    )
+    assert int(jax.device_get(o1["state"].step)) == int(
+        jax.device_get(o2["state"].step)
+    ) == 10
