@@ -109,7 +109,8 @@ def shard_batch(
                     import warnings
 
                     warnings.warn(
-                        f"shard_batch: batch dim {np.shape(v)[0]} of {k!r} "
+                        f"shard_batch: batch dim {np.shape(v)[batch_axis]} "
+                        f"of {k!r} "
                         f"does not divide data axis {n_data}; replicating "
                         "(correct but ~data_parallel x slower). Pad or drop "
                         "trailing partial batches to avoid this.",

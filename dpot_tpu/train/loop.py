@@ -308,6 +308,14 @@ def train(
     # run B-sized chunks through a plain single-step program instead, so
     # the epoch consumes exactly the sample stream a K=1 run would
     tail_step_fn = make_train_step(**step_kw) if K > 1 else step_fn
+    # ...and a tail whose size doesn't divide grad_accum falls back to the
+    # unaccumulated program (same update, full-batch activations — fine
+    # for one small tail batch; jit compiles it only if it's ever hit)
+    noaccum_step_fn = (
+        make_train_step(**{**step_kw, "grad_accum": 1})
+        if cfg.grad_accum > 1
+        else tail_step_fn
+    )
     roll_fn = make_eval_rollout(t_bundle=cfg.T_bundle)
 
     if jax.process_count() > 1:
@@ -363,11 +371,15 @@ def train(
                 ls_v = np.array([_fetch(ls)])
                 lf_v = np.array([_fetch(lf)])
             kk = len(ls_v)
-            train_l2_step += float(ls_v.sum())
-            train_l2_full += float(lf_v.sum())
-            train_seen += bsz * kk
             for j in range(kk):
                 loss_v = float(ls_v[j])
+                # accumulate per sub-step, BEFORE the explosion check stops
+                # the loop — the exploded value itself counts (as at K=1),
+                # but the rolled-back trajectory's remaining sub-steps
+                # must not poison the epoch metrics
+                train_l2_step += loss_v
+                train_l2_full += float(lf_v[j])
+                train_seen += bsz
                 step_idx = it_d - kk + 1 + j  # global optimizer step
                 if writer.log_dir:
                     writer.scalar(
@@ -462,7 +474,10 @@ def train(
                 batch = place(
                     host_batch, spatial_sharded=cfg.mesh_spatial > 1
                 )
-                state, aux = tail_step_fn(state, batch)
+                fn = tail_step_fn
+                if cfg.grad_accum > 1 and x.shape[0] % cfg.grad_accum:
+                    fn = noaccum_step_fn
+                state, aux = fn(state, batch)
             prev_it = it
             it += k_unit
             drain(pending)

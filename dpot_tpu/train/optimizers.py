@@ -85,13 +85,13 @@ def adam(
         # moment's dtype (a no-op unless moment_dtype narrows it)
         mu = jax.tree.map(
             lambda m, g, p: (
-                b1 * m + (1 - b1) * (g * cs + weight_decay * p)
+                b1 * _acc(m) + (1 - b1) * (g * cs + weight_decay * p)
             ).astype(m.dtype),
             state.mu, grads, params,
         )
         nu = jax.tree.map(
             lambda v, g, p: (
-                b2 * v + (1 - b2) * _abs_sq(g * cs + weight_decay * p)
+                b2 * _acc(v) + (1 - b2) * _abs_sq(g * cs + weight_decay * p)
             ).astype(v.dtype),
             state.nu, grads, params,
         )
@@ -139,11 +139,13 @@ def adamw(
             else 1.0
         )
         mu = jax.tree.map(
-            lambda m, g: (b1 * m + (1 - b1) * (g * cs)).astype(m.dtype),
+            lambda m, g: (b1 * _acc(m) + (1 - b1) * (g * cs)).astype(m.dtype),
             state.mu, grads,
         )
         nu = jax.tree.map(
-            lambda v, g: (b2 * v + (1 - b2) * _abs_sq(g * cs)).astype(v.dtype),
+            lambda v, g: (
+                b2 * _acc(v) + (1 - b2) * _abs_sq(g * cs)
+            ).astype(v.dtype),
             state.nu, grads,
         )
         lr = _lr_at(learning_rate, state.count)
@@ -195,11 +197,13 @@ def lamb(
             else 1.0
         )
         mu = jax.tree.map(
-            lambda m, g: (b1 * m + (1 - b1) * (g * cs)).astype(m.dtype),
+            lambda m, g: (b1 * _acc(m) + (1 - b1) * (g * cs)).astype(m.dtype),
             state.mu, grads,
         )
         nu = jax.tree.map(
-            lambda v, g: (b2 * v + (1 - b2) * _abs_sq(g * cs)).astype(v.dtype),
+            lambda v, g: (
+                b2 * _acc(v) + (1 - b2) * _abs_sq(g * cs)
+            ).astype(v.dtype),
             state.nu, grads,
         )
         if debias:
@@ -238,18 +242,37 @@ def _real_dtype(p: jax.Array) -> jnp.dtype:
     return jnp.zeros((), p.dtype).real.dtype
 
 
+def _acc(x):
+    """Promote a reduced-precision STORED moment to its accumulation dtype
+    before the decay multiply. Without this, weak-type promotion casts the
+    Python decay constants to the moment's dtype — and bf16(0.999) rounds
+    to exactly 1.0, so the second moment would never decay (complex/f32
+    moments pass through untouched)."""
+    import jax.numpy as jnp
+
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        return x.astype(jnp.float32)
+    return x
+
+
 def _moment_init(params, moment_dtype, real_only=False):
-    """Zero moments, optionally stored in a reduced dtype (bf16 halves the
-    optimizer's HBM residency AND its read+write traffic — the optimizer
-    pass is HBM-bound, CLAUDE.md measured it AT its roofline with f32
-    moments). Complex leaves keep their complex dtype (no complex-bf16);
-    real_only also maps complex params to their real dtype (|g|^2 second
-    moment). Accumulation happens in f32 (bf16*f32 promotes), only the
-    STORED moment is cast — see the update rules."""
+    """Zero moments, optionally stored in a reduced dtype. moment_dtype
+    applies to the FIRST moment only: b1=0.9 decays 10%/step, far above
+    bf16's ~0.4% ULP near 1, so a bf16 mu tracks the f32 EMA fine — but
+    b2=0.999 decays 0.1%/step, BELOW that ULP, so a bf16 nu absorbs the
+    decay and freezes (0.999*v rounds back to v). nu therefore always
+    stays in the param's real dtype (real_only); cutting mu is still a
+    25% HBM/traffic cut on the HBM-bound optimizer pass. Complex leaves
+    keep their complex dtype (no complex-bf16). Accumulation happens in
+    f32 (_acc), only the STORED moment is cast."""
 
     def one(p):
         dt = _real_dtype(p) if real_only else p.dtype
-        if moment_dtype is not None and not jnp.issubdtype(dt, jnp.complexfloating):
+        if (
+            moment_dtype is not None
+            and not real_only
+            and not jnp.issubdtype(dt, jnp.complexfloating)
+        ):
             dt = moment_dtype
         return jnp.zeros(p.shape, dt)
 
@@ -286,11 +309,12 @@ def build_optimizer(
 ) -> optax.GradientTransformation:
     """Optimizer dispatch matching train_temporal.py:131-135 defaults.
 
-    moment_dtype=jnp.bfloat16 stores BOTH moments in bf16 (accumulation
-    stays f32): halves the optimizer state's HBM residency (-4.1 GB at
-    DPOT-H) and its memory traffic (the optimizer pass is HBM-roofline-
-    bound — measured, CLAUDE.md). Off by default: f32 moments are the
-    reference-exact configuration."""
+    moment_dtype=jnp.bfloat16 stores the FIRST moment in bf16
+    (accumulation stays f32; the second moment must stay f32 — b2=0.999's
+    0.1%/step decay is below bf16's ULP near 1, so a bf16 nu would freeze;
+    see _moment_init): a 25% cut of optimizer-state HBM (-2 GB at DPOT-H)
+    and of the HBM-roofline-bound optimizer pass's moment traffic. Off by
+    default: f32 moments are the reference-exact configuration."""
     if name == "adam":
         tx = adam(
             learning_rate, beta1, beta2,

@@ -632,3 +632,35 @@ def test_steps_per_dispatch_matches_sequential(tmp_path):
     assert int(jax.device_get(o1["state"].step)) == int(
         jax.device_get(o2["state"].step)
     ) == 10
+
+
+def test_grad_accum_tail_fallback(tmp_path):
+    """A trailing partial batch whose size doesn't divide grad_accum must
+    fall back to the unaccumulated step, not crash (train_size=19, B=8,
+    accum=4 -> tail of 3)."""
+    from dpot_tpu.data.registry import make_synthetic_spec
+
+    make_synthetic_spec(
+        "ga_tail", train_size=19, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+    cfg = TrainConfig(
+        model="DPOT", train_paths=["ga_tail"], res=16, patch_size=4,
+        width=32, n_layers=1, n_blocks=4, modes=4, T_in=6, batch_size=8,
+        grad_accum=4, epochs=1, num_workers=2, lr=1e-3, opt="adam",
+        use_writer=True,
+    )
+    out = train(cfg, log_dir=str(tmp_path / "run"))
+    assert np.isfinite(out["train_l2_step"])
+    assert int(jax.device_get(out["state"].step)) == 3  # ceil(19/8)
+
+
+def test_config_validation_rejects_bad_knobs():
+    import pytest
+
+    with pytest.raises(AssertionError, match="opt_moment_dtype"):
+        TrainConfig(opt_moment_dtype="bf16")
+    with pytest.raises(AssertionError, match="grad_accum"):
+        TrainConfig(batch_size=8, grad_accum=3)
+    with pytest.raises(AssertionError, match="steps_per_dispatch"):
+        TrainConfig(steps_per_dispatch=0)

@@ -154,9 +154,12 @@ def test_bf16_moments_track_f32():
     p32, _ = run(None)
     pbf, st = run(jnp.bfloat16)
     assert st.mu["w"].dtype == jnp.bfloat16
-    assert st.nu["w"].dtype == jnp.bfloat16
     assert st.mu["c"].dtype == jnp.complex64  # no complex-bf16
-    assert st.nu["c"].dtype == jnp.bfloat16  # |g|^2 is real
+    # the SECOND moment must stay f32: b2=0.999 decays 0.1%/step, below
+    # bf16's ~0.4% ULP near 1 — a bf16 nu would absorb the decay and
+    # freeze (optimizers._moment_init)
+    assert st.nu["w"].dtype == jnp.float32
+    assert st.nu["c"].dtype == jnp.float32
     assert pbf["w"].dtype == jnp.float32  # updates stay param dtype
     for k in params:
         np.testing.assert_allclose(
@@ -168,3 +171,32 @@ def test_bf16_moments_track_f32():
         st = tx.init(params)
         upd, _ = tx.update(params, st, params)
         assert jax.tree.leaves(upd)[0].dtype in (jnp.float32, jnp.complex64)
+
+
+def test_bf16_moments_decay_constants_stay_f32():
+    """Weak-type promotion regression: the decay multiply must promote a
+    bf16 STORED moment to f32 (optimizers._acc), not cast the Python
+    decay constant down to bf16 — bf16(0.999) rounds to exactly 1.0, so
+    the un-promoted form turns the EMA into a non-decaying sum. Pinned
+    both at the expression level and through a real update: with bf16
+    moments and zero gradients, nu (kept f32) must decay by exactly b2."""
+    import jax.numpy as jnp
+    from dpot_tpu.train.optimizers import _acc, adam
+
+    m = jnp.ones((), jnp.bfloat16)
+    assert (0.999 * m).dtype == jnp.bfloat16  # the trap this guards
+    assert float(0.999 * m) == 1.0
+    prod = 0.999 * _acc(m)
+    assert prod.dtype == jnp.float32
+    np.testing.assert_allclose(float(prod), 0.999, rtol=1e-6)
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    tx = adam(1e-3, b1=0.9, b2=0.999, weight_decay=0.0,
+              moment_dtype=jnp.bfloat16)
+    st = tx.init(params)
+    st = st._replace(nu={"w": jnp.ones((4,), jnp.float32)})
+    zero_g = {"w": jnp.zeros((4,), jnp.float32)}
+    _, st2 = tx.update(zero_g, st, params)
+    np.testing.assert_allclose(
+        np.asarray(st2.nu["w"], np.float32), 0.999, rtol=1e-6
+    )
