@@ -76,12 +76,10 @@ def _synthetic_sample(spec: DatasetSpec, train: bool, idx: int) -> np.ndarray:
     if len(size) == 2:
         H, W = size
         coef = rng.standard_normal((k, k, C)) + 1j * rng.standard_normal((k, k, C))
-        freq = np.zeros((H, W, C), dtype=complex)
-        freq[:k, :k] = coef
         omega = 2 * np.pi * rng.random((k, k, C)) * 0.05
         out = np.empty((H, W, T, C), dtype=np.float32)
         for t in range(T):
-            ft = np.zeros_like(freq)
+            ft = np.zeros((H, W, C), dtype=complex)
             ft[:k, :k] = coef * np.exp(1j * omega * t)
             out[..., t, :] = np.real(np.fft.ifft2(ft, axes=(0, 1))) * H
         return out
@@ -94,6 +92,36 @@ def _synthetic_sample(spec: DatasetSpec, train: bool, idx: int) -> np.ndarray:
         ft[:k, :k, :k] = coef * np.exp(1j * omega * t)
         out[..., t, :] = np.real(np.fft.ifftn(ft, axes=(0, 1, 2))) * H
     return out
+
+
+def _target_mask(x, size_orig, n_spatial: int) -> np.ndarray:
+    """Resolution/channel target mask (reference griddataset.py:103-117):
+    ones on the stride grid mapping the padded resolution back onto the
+    raw one, zeros on padded channels. ONE implementation for the 2D
+    temporal/steady and 3D datasets — a clamping/pred_channels fix here
+    reaches all of them."""
+    msk = np.zeros((*x.shape[:n_spatial], 1, x.shape[-1]), dtype=np.float32)
+    strides = tuple(
+        slice(None, None, max(x.shape[a] // size_orig[a], 1))
+        for a in range(n_spatial)
+    )
+    msk[strides + (slice(None), slice(None, size_orig[-1]))] = 1.0
+    return msk
+
+
+def _copy_exact(dst, src):
+    """np.copyto with broadcasting DISABLED: batch slots are shaped from
+    the first batch (loader fast path), so a later item of a different
+    legitimate shape (e.g. mixed t_test across eval datasets) must fail
+    loudly instead of silently broadcasting into the slot."""
+    src = np.asarray(src)
+    if tuple(src.shape) != tuple(dst.shape):
+        raise ValueError(
+            f"batch slot shape {tuple(dst.shape)} != item shape "
+            f"{tuple(src.shape)}: items with mixed shapes cannot share one "
+            "DataLoader's preallocated slots"
+        )
+    np.copyto(dst, src)
 
 
 class MixedTemporalDataset:
@@ -213,11 +241,7 @@ class MixedTemporalDataset:
 
     # -- reference get_target_mask (griddataset.py:103-117) --
     def get_target_mask(self, x: np.ndarray, size_orig: Sequence[int]) -> np.ndarray:
-        msk = np.zeros((*x.shape[:2], 1, x.shape[-1]), dtype=np.float32)
-        kx = max(x.shape[0] // size_orig[0], 1)
-        ky = max(x.shape[1] // size_orig[1], 1)
-        msk[::kx, ::ky, :, : size_orig[-1]] = 1.0
-        return msk
+        return _target_mask(x, size_orig, 2)
 
     def locate(self, idx: int) -> tuple[int, int]:
         """Weighted mixture indexing (griddataset.py:133-140)."""
@@ -309,9 +333,9 @@ class MixedTemporalDataset:
             # (a time-major item inside a standard-layout batch needs the
             # host transpose — generic route)
             x, y, msk, cls = self.__getitem__(idx, rng=rng)
-            np.copyto(out_x, x)
-            np.copyto(out_y, y)
-            np.copyto(out_msk, msk)
+            _copy_exact(out_x, x)
+            _copy_exact(out_y, y)
+            _copy_exact(out_msk, msk)
             return cls
         hi = spec.t_total - (self.t_in + self.t_ar) + 1
         start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
@@ -321,14 +345,14 @@ class MixedTemporalDataset:
             # slots are time-major (t, res, res, C): the window is ONE
             # contiguous memmap range -> two sequential copies; the train
             # step transposes on device (make_train_step time_major=True)
-            np.copyto(out_x, sample[: self.t_in])
-            np.copyto(out_y, sample[self.t_in :])
+            _copy_exact(out_x, sample[: self.t_in])
+            _copy_exact(out_y, sample[self.t_in :])
             out_msk[...] = 1.0
             return np.int32(dataset_idx)
         if sample.ndim == 3:
             sample = sample[..., None]
-        np.copyto(out_x, sample[..., : self.t_in, :])
-        np.copyto(out_y, sample[..., self.t_in :, :])
+        _copy_exact(out_x, sample[..., : self.t_in, :])
+        _copy_exact(out_y, sample[..., self.t_in :, :])
         out_msk[...] = 1.0
         return np.int32(dataset_idx)
 
@@ -355,9 +379,9 @@ class MixedMaskedDataset(MixedTemporalDataset):
         # parent's (x, y, msk): route through __getitem__; the loader
         # still saves the stack pass
         x_msk, x, t_msk, cls = self.__getitem__(idx, rng=rng)
-        np.copyto(out_x, x_msk)
-        np.copyto(out_y, x)
-        np.copyto(out_msk, t_msk)
+        _copy_exact(out_x, x_msk)
+        _copy_exact(out_y, x)
+        _copy_exact(out_msk, t_msk)
         return cls
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
@@ -456,11 +480,7 @@ class SteadyDataset2D:
         return x
 
     def get_target_mask(self, x: np.ndarray, size_orig) -> np.ndarray:
-        msk = np.zeros((*x.shape[:2], 1, x.shape[-1]), dtype=np.float32)
-        kx = max(x.shape[0] // size_orig[0], 1)
-        ky = max(x.shape[1] // size_orig[1], 1)
-        msk[::kx, ::ky, :, : size_orig[-1]] = 1.0
-        return msk
+        return _target_mask(x, size_orig, 2)
 
     def shuffle_channels(
         self, x: np.ndarray, y: np.ndarray, rng: np.random.Generator
@@ -566,17 +586,17 @@ class TemporalDataset3D:
         """Zero-intermediate assembly (see MixedTemporalDataset.fetch_into)."""
         if not self.time_major_batches:
             x, y, msk, cls = self.__getitem__(idx, rng=rng)
-            np.copyto(out_x, x)
-            np.copyto(out_y, y)
-            np.copyto(out_msk, msk)
+            _copy_exact(out_x, x)
+            _copy_exact(out_y, y)
+            _copy_exact(out_msk, msk)
             return cls
         rng = rng or np.random
         hi = self.spec.t_total - (self.t_in + self.t_ar) + 1
         start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
         win = slice(start, start + self.t_in + self.t_ar)
         sample = self.reader(idx, tsel=win, copy=False)
-        np.copyto(out_x, sample[: self.t_in])
-        np.copyto(out_y, sample[self.t_in :])
+        _copy_exact(out_x, sample[: self.t_in])
+        _copy_exact(out_y, sample[self.t_in :])
         out_msk[...] = 1.0
         return np.int32(0)
 
@@ -594,12 +614,7 @@ class TemporalDataset3D:
         return x
 
     def get_target_mask(self, x: np.ndarray, size_orig: Sequence[int]) -> np.ndarray:
-        msk = np.zeros((*x.shape[:3], 1, x.shape[-1]), dtype=np.float32)
-        kx = max(x.shape[0] // size_orig[0], 1)
-        ky = max(x.shape[1] // size_orig[1], 1)
-        kz = max(x.shape[2] // size_orig[2], 1)
-        msk[::kx, ::ky, ::kz, :, : size_orig[-1]] = 1.0
-        return msk
+        return _target_mask(x, size_orig, 3)
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         if self.train:

@@ -82,7 +82,9 @@ class DataLoader:
 
     def _batches(self) -> list[np.ndarray]:
         n = len(self.dataset)
-        rng = np.random.default_rng(self.seed + self._epoch)
+        # tuple seeding: additive mixing (seed+epoch) would make adjacent
+        # seeds replay each other's permutations shifted by one epoch
+        rng = np.random.default_rng((self.seed, self._epoch))
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
         order = order[:limit]
@@ -110,16 +112,27 @@ class DataLoader:
                 lo = self.shard_index * per
                 sharded.append((gbase + lo, b[lo : lo + per]))
             pairs = sharded
-        rng_seed = self.seed * 100003 + self._epoch
+        rng_key = (self.seed, self._epoch)
         self._epoch += 1
+
+        # detect rng support ONCE (catching TypeError per item would mask
+        # TypeErrors raised inside the dataset body and silently retry the
+        # read without its seeded stream)
+        import inspect
+
+        try:
+            supports_rng = "rng" in inspect.signature(
+                self.dataset.__getitem__
+            ).parameters
+        except (TypeError, ValueError):
+            supports_rng = False
 
         def fetch_item(args):
             k, idx = args
-            item_rng = np.random.default_rng((rng_seed, k))
-            try:
-                return self.dataset.__getitem__(int(idx), rng=item_rng)
-            except TypeError:
+            if not supports_rng:
                 return self.dataset[int(idx)]
+            item_rng = np.random.default_rng((*rng_key, k))
+            return self.dataset.__getitem__(int(idx), rng=item_rng)
 
         # zero-intermediate assembly: datasets exposing fetch_into write
         # each item STRAIGHT into its batch slot (one strided copy from
@@ -141,7 +154,7 @@ class DataLoader:
 
             def one(j_i):
                 j, i = j_i
-                item_rng = np.random.default_rng((rng_seed, base + j))
+                item_rng = np.random.default_rng((*rng_key, base + j))
                 cls[j] = self.dataset.fetch_into(
                     int(i), x[j], y[j], msk[j], item_rng
                 )
@@ -185,13 +198,18 @@ class DataLoader:
             return False
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for gbase, b in pairs:
-                    if stop.is_set():
-                        return
-                    if not put(fetch_batch(pool, b, gbase)):
-                        return
-            put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for gbase, b in pairs:
+                        if stop.is_set():
+                            return
+                        if not put(fetch_batch(pool, b, gbase)):
+                            return
+                put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                # a failed read must surface in the consumer, not strand
+                # it in q.get() forever behind a dead producer
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -200,6 +218,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

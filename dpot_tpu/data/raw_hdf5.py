@@ -21,6 +21,7 @@ core, so per-read constant costs are the ingest budget.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Optional
 
 import numpy as np
@@ -70,6 +71,7 @@ class RawScatterReader:
         self._layout = -1  # unprobed sentinel (None = probed, unusable)
         self._probe_size = -1  # byte size of the probed file
         self._time_major: Optional[bool] = None
+        self._probe_lock = threading.Lock()  # the loader reads from a pool
 
     def _path(self, idx: int) -> str:
         return os.path.join(self.root, f"data_{idx}.hdf5")
@@ -89,9 +91,17 @@ class RawScatterReader:
         it is only a view on the raw fast path, so callers must not
         mutate the result."""
         if self._layout == -1:
-            self._layout = contiguous_layout(self._path(idx), self.field)
-            if self._layout is not None:
-                self._probe_size = os.path.getsize(self._path(idx))
+            # one probe, atomically: concurrent first reads from the
+            # loader's pool must not capture _layout from one file and
+            # _probe_size from another (that pairing IS the safety guard).
+            # _probe_size is written before _layout so an unlocked reader
+            # that sees _layout set also sees its matching size.
+            with self._probe_lock:
+                if self._layout == -1:
+                    lay = contiguous_layout(self._path(idx), self.field)
+                    if lay is not None:
+                        self._probe_size = os.path.getsize(self._path(idx))
+                    self._layout = lay
         tmaj = self.time_major
         lay = self._layout
         path = self._path(idx)
@@ -130,6 +140,7 @@ class RawSingleReader:
         self._time_major: Optional[bool] = None
         self._mm: Optional[np.memmap] = None
         self._handles: dict = {}
+        self._lock = threading.Lock()  # probe/memmap/handle init races
 
     @property
     def time_major(self) -> bool:
@@ -139,23 +150,35 @@ class RawSingleReader:
 
     def read(self, idx: int, tsel=None, copy: bool = True) -> np.ndarray:
         if self._layout == -1:
-            self._layout = contiguous_layout(self.path, self.field)
+            with self._lock:
+                if self._layout == -1:
+                    self._layout = contiguous_layout(self.path, self.field)
         tmaj = self.time_major
         if self._layout is not None:
             if self._mm is None:
-                off, shape, dtype = self._layout
-                self._mm = np.memmap(self.path, dtype=dtype, mode="r",
-                                     offset=off, shape=shape)
+                with self._lock:
+                    if self._mm is None:
+                        off, shape, dtype = self._layout
+                        self._mm = np.memmap(
+                            self.path, dtype=dtype, mode="r", offset=off,
+                            shape=shape,
+                        )
             w = _window(self._mm[idx], tsel, tmaj, self.n_spatial)
             return w if not copy else np.array(w)
         import h5py
 
         # lazily open per process to be fork-safe (matches the prior
-        # h5py-only reader)
+        # h5py-only reader); created under the lock so concurrent pool
+        # threads don't each open (and leak) a handle
         key = os.getpid()
-        if key not in self._handles:
-            self._handles[key] = h5py.File(self.path, "r")
-        d = self._handles[key][self.field]
+        h = self._handles.get(key)
+        if h is None:
+            with self._lock:
+                h = self._handles.get(key)
+                if h is None:
+                    h = h5py.File(self.path, "r")
+                    self._handles[key] = h
+        d = h[self.field]
         if tsel is None:
             return d[idx][:]
         if tmaj:

@@ -126,3 +126,39 @@ def test_sharded_loader_rejects_indivisible_batch():
 
     with pytest.raises(ValueError, match="num_shards"):
         DataLoader(_DS(), batch_size=8, num_shards=3, shard_index=0)
+
+
+def test_loader_surfaces_producer_exception():
+    """A failed read must raise in the consuming loop, not strand it in
+    q.get() forever behind a dead producer thread."""
+    import pytest
+
+    from dpot_tpu.data.loader import DataLoader
+
+    class BoomDataset:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, idx):
+            if idx >= 8:
+                raise OSError("corrupt file")
+            return (np.zeros((4, 4), np.float32),) * 3 + (np.int32(0),)
+
+    dl = DataLoader(BoomDataset(), batch_size=8, shuffle=False, num_workers=2)
+    with pytest.raises(OSError, match="corrupt file"):
+        for _ in dl:
+            pass
+
+
+def test_copy_exact_rejects_broadcast():
+    """fetch_into slot copies must reject shape mismatches instead of
+    silently broadcasting a smaller item into a larger slot."""
+    import pytest
+
+    from dpot_tpu.data.grid_dataset import _copy_exact
+
+    dst = np.zeros((4, 4, 10, 2), np.float32)
+    with pytest.raises(ValueError, match="slot shape"):
+        _copy_exact(dst, np.ones((4, 4, 1, 2), np.float32))
+    _copy_exact(dst, np.ones((4, 4, 10, 2), np.float32))  # exact: fine
+    assert dst.sum() == dst.size
