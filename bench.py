@@ -11,11 +11,12 @@ Knobs:
   DPOT_BENCH_PRESET=Ti|S|M|L|H   model preset (default M)
   DPOT_BENCH_BATCH=N             batch size (default 8)
   DPOT_BENCH_LADDER=1            run the full ladder instead (see LADDER):
-      M B=8 (+ fused-kernel A/B), Ti/S B=8, M B=16, L+remat B=4,
-      H+remat B=1 (1.03B on one chip), DPOT3D 64^3, native-512^2 Ti, and
-      DPOT-M inference (per-dispatch + scanned-rollout) — one JSON line
-      per entry, each in a FRESH subprocess (first line is the headline
-      M/B=8 metric for compatibility).
+      M B=8 (+ fused-kernel A/B), Ti/S B=8, M B=16, lever A/Bs
+      (bf16 first moment, fused K-step dispatch), L+remat B=4,
+      H+remat B=1 (1.03B on one chip), DPOT3D 64^3, native-512^2 Ti,
+      DPOT-M inference (per-dispatch + scanned-rollout), and host ingest —
+      one JSON line per entry, each in a FRESH subprocess (first line is
+      the headline M/B=8 metric for compatibility).
   DPOT_BENCH_ENTRY=<name>        run one LADDER entry in this process
   DPOT_BENCH_REMAT=1             force remat on the single-preset run
   DPOT_BENCH_MOM=bfloat16        bf16 optimizer moments (A/B the lever)
@@ -238,6 +239,12 @@ LADDER = {
     "ti8": lambda: bench_train("Ti", 8),
     "s8": lambda: bench_train("S", 8),
     "m16": lambda: bench_train("M", 16),
+    # r3 levers, A/B'd against their baselines above:
+    # bf16 FIRST-moment storage (optimizer pass is HBM-bound)
+    "m8_bf16mom": lambda: _env_train({"DPOT_BENCH_MOM": "bfloat16"}, "M", 8),
+    # fused multi-step dispatch (small models are dispatch-bound)
+    "ti8_scan8": lambda: _env_train({"DPOT_BENCH_SCAN": "8"}, "Ti", 8),
+    "s8_scan4": lambda: _env_train({"DPOT_BENCH_SCAN": "4"}, "S", 8),
     "l4_remat": lambda: bench_train("L", 4, remat=True, iters=10),
     # 1.03B DPOT-H on ONE 16GB chip: donation + remat fit params (4.1GB)
     # + f32 lamb moments (8.2GB) + grads/activations; ~15 steps/s at B=1,
@@ -256,6 +263,13 @@ LADDER = {
     "ingest": lambda: bench_ingest(),
     "ingest_tm": lambda: bench_ingest(time_major=True),
 }
+
+
+def _env_train(env: dict, preset: str, batch: int) -> dict:
+    """Run bench_train with lever knobs set (each ladder entry already runs
+    in its own subprocess, so the env mutation is isolated)."""
+    os.environ.update(env)
+    return bench_train(preset, batch)
 
 
 def _fused_ab() -> dict:
