@@ -35,7 +35,7 @@ def main(argv=None):
     cfg = load_config(argv)
 
     sd = load_torch_checkpoint(cfg.resume_path)
-    n_channels = 4
+    n_channels = cfg.n_channels  # --n_channels (default 4)
     model = build_model(
         cfg.model, img_size=cfg.res, patch_size=cfg.patch_size,
         in_channels=n_channels, in_timesteps=cfg.T_in,

@@ -69,6 +69,12 @@ def main(argv=None):
             f"spatial rank): {ndims} — evaluate 2D and 3D sets separately"
         )
     ndim = get_spec(cfg.test_paths[0]).ndim
+    if varyres and ndim != 2:
+        raise SystemExit(
+            "--varyres sweeps 2D resolutions only (spectral resize + "
+            f"varyres rollout are 2D); test sets are {ndim}D — run the "
+            "standard 3D evaluation instead"
+        )
     import jax.numpy as jnp
 
     model_name = cfg.model
@@ -83,6 +89,7 @@ def main(argv=None):
         depth=cfg.n_layers, n_blocks=cfg.n_blocks, mlp_ratio=cfg.mlp_ratio,
         out_layer_dim=cfg.out_layer_dim, act=cfg.act,
         n_cls=len(cfg.train_paths), normalize=cfg.normalize,
+        use_ln=cfg.use_ln,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )
     sample_shape = (1,) + (cfg.res,) * ndim + (cfg.T_in, n_channels)

@@ -137,8 +137,7 @@ def main(argv=None):
     step = make_train_step(t_bundle=cfg.T_bundle, noise_scale=cfg.noise_scale)
     roll = make_eval_rollout(t_bundle=cfg.T_bundle)
 
-    def fetch(a):
-        return float(np.asarray(jnp.reshape(a, (1, 1)))[0, 0])
+    from dpot_tpu.utils.profiling import fence as fetch
 
     for ep in range(cfg.epochs):
         t0 = time.perf_counter()

@@ -46,7 +46,10 @@ def _build_served(cfg):
         out_timesteps=cfg.T_bundle, embed_dim=cfg.width, modes=cfg.modes,
         depth=cfg.n_layers, n_blocks=cfg.n_blocks, mlp_ratio=cfg.mlp_ratio,
         out_layer_dim=cfg.out_layer_dim, n_cls=len(cfg.train_paths),
-        normalize=cfg.normalize,
+        # act/use_ln MUST match training: restore_params re-imposes the
+        # template treedef, so an activation mismatch is undetectable from
+        # the params and would serve silently wrong predictions
+        act=cfg.act, normalize=cfg.normalize, use_ln=cfg.use_ln,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )
     x0 = jnp.zeros(
@@ -97,6 +100,13 @@ def main(argv=None, wait=True):
             )
         with open(models_yaml) as f:
             spec = yaml.safe_load(f)
+        if not isinstance(spec, dict) or not isinstance(
+            spec.get("models"), dict
+        ) or not spec["models"]:
+            raise SystemExit(
+                f"fleet YAML {models_yaml!r} must contain a non-empty "
+                "'models:' mapping (see cli/serve.py docstring)"
+            )
         fields = {f.name for f in dataclasses.fields(TrainConfig)}
         servers = {}
         for name, entry in spec["models"].items():

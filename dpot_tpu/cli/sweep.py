@@ -66,9 +66,20 @@ def main(argv=None):
         return jobs
 
     procs: list[subprocess.Popen] = []
+    failed: list[tuple[str, int]] = []
     queue = list(jobs)
     while queue or procs:
-        procs = [pr for pr in procs if pr.poll() is None]
+        # collect finished jobs, KEEPING their exit status — a crashed
+        # grid point must not vanish silently from a sweep that exits 0
+        still = []
+        for pr in procs:
+            rc = pr.poll()
+            if rc is None:
+                still.append(pr)
+            elif rc != 0:
+                print(f"FAILED (exit {rc}): {' '.join(pr.args)}")
+                failed.append((" ".join(pr.args), rc))
+        procs = still
         while queue and len(procs) < ns.parallel:
             j = queue.pop(0)
             cmd = [sys.executable, "-m", script] + job_to_argv(j)
@@ -76,6 +87,11 @@ def main(argv=None):
             procs.append(subprocess.Popen(cmd))
         if procs:
             procs[0].wait()
+    if failed:
+        raise SystemExit(
+            f"{len(failed)}/{len(jobs)} sweep jobs failed: "
+            + "; ".join(f"exit {rc}: {c}" for c, rc in failed[:4])
+        )
     return jobs
 
 

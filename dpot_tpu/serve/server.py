@@ -299,6 +299,24 @@ class RolloutServer:
                 raise RuntimeError("server is shutting down")
             if x.ndim != 5:
                 raise ValueError(f"expected (B,H,W,T,C), got shape {x.shape}")
+            # every novel trailing shape would jit a FRESH rollout (20-40s
+            # compile over a tunnel, stalling the single worker and growing
+            # the executable cache unboundedly) — only the batch dim may
+            # vary (bucketed), so reject anything but the served shape
+            m = self.model
+            want = (
+                getattr(m, "img_size", x.shape[1]),
+                getattr(m, "img_size", x.shape[2]),
+                getattr(m, "in_timesteps", x.shape[3]),
+                getattr(m, "in_channels", x.shape[4]),
+            )
+            if tuple(x.shape[1:]) != want:
+                raise ValueError(
+                    f"input shape {tuple(x.shape[1:])} != served model's "
+                    f"(H,W,T,C)={want}"
+                )
+            if x.shape[0] < 1:
+                raise ValueError("batch must be >= 1")
             steps = int(steps)
             if not 1 <= steps <= self.max_steps:
                 # steps keys the jitted-rollout cache: values outside

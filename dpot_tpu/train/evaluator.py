@@ -70,6 +70,7 @@ def evaluate(
     roll = make_eval_rollout(t_bundle=t_bundle)
     results = {}
     total_time, total_steps = 0.0, 0
+    seen_shapes: set = set()  # batch shapes whose program is compiled
     for path in test_paths:
         if get_spec(path).ndim == 3:
             ds = TemporalDataset3D(
@@ -90,10 +91,11 @@ def evaluate(
             batch = {
                 "x": jnp.asarray(x), "y": jnp.asarray(y), "msk": jnp.asarray(msk)
             }
+            shape_key = (x.shape, y.shape)
             t0 = time.perf_counter()
             out = roll(apply_fn, params, batch)
             f_val = _fetch(out["loss_full"])  # fences the device
-            total_time += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
             # the final per-dataset normalization divides by the LAST
             # batch's rollout length (t_test is constant per dataset);
             # assert the invariant rather than trust it silently
@@ -101,7 +103,16 @@ def evaluate(
                 y.shape[-2] / t_bundle, 1
             ), f"{path}: eval batches mix rollout lengths"
             n_steps_per_traj = max(y.shape[-2] / t_bundle, 1)
-            total_steps += int(x.shape[0] * n_steps_per_traj)
+            # avg_step_time counts only already-compiled shapes: a batch
+            # shape's FIRST call jit-compiles (20-40s over the tunnel —
+            # ~1000x the step), which would swamp the reported latency.
+            # Evals with a single batch per shape report 0.0 (no timed
+            # steady-state call) rather than the compile time.
+            if shape_key in seen_shapes:
+                total_time += dt
+                total_steps += int(x.shape[0] * n_steps_per_traj)
+            else:
+                seen_shapes.add(shape_key)
             s_sum += _fetch(out["loss_step"])
             f_sum += f_val
             n_batches += 1

@@ -109,7 +109,10 @@ def _opt_steps_per_epoch(cfg: TrainConfig, train_dl, train_ds) -> int:
     return max(-(-len(train_ds) // cfg.batch_size), 1)
 
 
-def build_everything(cfg: TrainConfig, mesh=None):
+def build_everything(cfg: TrainConfig, mesh=None, init_params=None):
+    """init_params: skip the (expensive, jitted) model.init and start from
+    the given tree — callers like cli/finetune that already built/merged
+    params avoid a second multi-second init of a big model."""
     train_ds = MixedTemporalDataset(
         cfg.train_paths, cfg.ntrain_list, res=cfg.res, t_in=cfg.T_in,
         t_ar=cfg.T_ar, train=True, data_weights=cfg.data_weights,
@@ -177,11 +180,14 @@ def build_everything(cfg: TrainConfig, mesh=None):
         ),
     )
 
-    x0 = jnp.zeros(
-        (cfg.batch_size, cfg.res, cfg.res, cfg.T_in, train_ds.n_channels),
-        jnp.float32,
-    )
-    params = model.init(jax.random.key(cfg.seed), x0)
+    if init_params is not None:
+        params = init_params
+    else:
+        x0 = jnp.zeros(
+            (cfg.batch_size, cfg.res, cfg.res, cfg.T_in, train_ds.n_channels),
+            jnp.float32,
+        )
+        params = model.init(jax.random.key(cfg.seed), x0)
     from dpot_tpu.train.state import training_key
 
     state = TrainState.create(model.apply, params, tx, training_key(cfg.seed + 1))
@@ -200,7 +206,7 @@ def train(
         pipe=cfg.mesh_pipe,
     )
     model, state, sched, train_dl, test_dls, train_ds = build_everything(
-        cfg, mesh=mesh
+        cfg, mesh=mesh, init_params=init_params
     )
 
     if log_dir is None and cfg.use_writer:
@@ -235,7 +241,7 @@ def train(
     start_epoch = 0
     steps_per_epoch = _opt_steps_per_epoch(cfg, train_dl, train_ds)
     if init_params is not None:
-        state = state.replace(params=init_params)
+        # build_everything already created the state from these params
         writer.text("starting from caller-provided params")
     elif cfg.resume_path:
         # FULL resume: params + opt state (moments) + step (OneCycle/other

@@ -28,12 +28,22 @@ def model_and_params():
 
 def test_evaluate_rollout(model_and_params):
     model, params = model_and_params
+    # batch_size=2 -> two same-shape batches: the FIRST call per shape
+    # jit-compiles and is excluded from avg_step_time (it would swamp the
+    # latency ~1000x over the tunnel); the second is timed
     res = evaluate(
-        model, params, ["synth_eval"], res=32, t_in=6, batch_size=4,
+        model, params, ["synth_eval"], res=32, t_in=6, batch_size=2,
         num_workers=2,
     )
     assert np.isfinite(res["synth_eval"]["loss_full"])
     assert res["avg_step_time"] > 0
+    # a single-batch eval has no steady-state call to time: reports 0.0,
+    # never the compile time
+    res1 = evaluate(
+        model, params, ["synth_eval"], res=32, t_in=6, batch_size=4,
+        num_workers=2,
+    )
+    assert res1["avg_step_time"] == 0.0
 
 
 def test_refill_mask():

@@ -100,6 +100,23 @@ def test_rejects_bad_rank(served):
         _post_rollout(port, bad, 1)
 
 
+def test_rejects_wrong_shape_and_empty_batch(served):
+    """Only the batch dim may vary: a novel (H,W,T,C) would jit a FRESH
+    rollout per request (a 20-40s compile over the tunnel = accidental
+    DoS), and a B=0 request has nothing to run — both must 4xx before
+    reaching the worker."""
+    _, _, rs, port = served
+    n_compiled = len(rs._rollout_cache)
+    with pytest.raises(Exception, match="400"):
+        _post_rollout(port, np.zeros((1, 8, 8, 4, 2), np.float32), 1)
+    with pytest.raises(Exception, match="400"):
+        _post_rollout(port, np.zeros((1, 16, 16, 5, 2), np.float32), 1)
+    with pytest.raises(Exception, match="400"):
+        _post_rollout(port, np.zeros((0, 16, 16, 4, 2), np.float32), 1)
+    # warmed programs survive; the rejects traced nothing new
+    assert len(rs._rollout_cache) == n_compiled
+
+
 def test_oversize_request_chunks_through_buckets(served):
     """B > max bucket must run in compiled max-bucket chunks, not trace a
     fresh batch shape per request."""
