@@ -63,8 +63,11 @@ def afno_filter_2d_sharded(
 
     compute_dtype: bf16 runs the mode MLP at full MXU rate AND moves the
     spectra through both all_to_all transposes at half the ICI bytes; the
-    DFT matmuls keep f32 accumulation (f32 const matrices promote). None
-    (default) is the f32 golden-parity path.
+    DFT matmul stages themselves stay f32 (spectra are cast bf16 ONLY
+    across the transposes and restored to f32 on arrival — a bf16 input
+    would make ops/fourier build bf16 DFT matrices and chain 512-term
+    sums in bf16, drifting from the single-chip path, whose FFTs
+    accumulate in f32). None (default) is the f32 golden-parity path.
 
     slice_modes: run the 2-layer mode MLP only on the kept spectral corner
     (rows [:kh] are contiguous after the H-gather; the kept W-freq columns
@@ -92,7 +95,9 @@ def afno_filter_2d_sharded(
         # 1) local rfft over W
         re, im = _rfft_axis(x32, 2)  # (B, H/s, Wf, C), unscaled
         if compute_dtype is not None:
-            # half the ICI bytes through the transposes (bf16 spectra)
+            # half the ICI bytes through the transpose (bf16 on the WIRE
+            # only — restored to f32 on arrival so the H-FFT's DFT
+            # matrices and 512-term sums stay f32, matching single-chip)
             re, im = re.astype(compute_dtype), im.astype(compute_dtype)
         pad = ((0, 0), (0, 0), (0, Wfp - Wf), (0, 0))
         re, im = jnp.pad(re, pad), jnp.pad(im, pad)
@@ -102,6 +107,8 @@ def afno_filter_2d_sharded(
                                 tiled=True)  # (B, H, Wfp/s, C)
         im = jax.lax.all_to_all(im, axis_name, split_axis=2, concat_axis=1,
                                 tiled=True)
+        if compute_dtype is not None:
+            re, im = re.astype(jnp.float32), im.astype(jnp.float32)
 
         # 3) local FFT over H + ortho scale
         re, im = _fft_axis(re, im, 1)
@@ -146,9 +153,13 @@ def afno_filter_2d_sharded(
             o_re = jnp.where(keep, o_re, 0.0)
             o_im = jnp.where(keep, o_im, 0.0)
 
-        # 5) local inverse FFT over H (unscaled)
-        yr, yi = _ifft_axis(o_re, o_im, 1)
+        # 5) local inverse FFT over H (unscaled) — f32 inputs: the mode
+        # MLP may return compute_dtype
+        yr, yi = _ifft_axis(
+            o_re.astype(jnp.float32), o_im.astype(jnp.float32), 1
+        )
         if compute_dtype is not None:
+            # bf16 on the wire again; back to f32 for the final irfft
             yr, yi = yr.astype(compute_dtype), yi.astype(compute_dtype)
 
         # 6) transpose back: split H, gather W-freqs
@@ -156,7 +167,7 @@ def afno_filter_2d_sharded(
                                 tiled=True)  # (B, H/s, Wfp, C)
         yi = jax.lax.all_to_all(yi, axis_name, split_axis=1, concat_axis=2,
                                 tiled=True)
-        yr, yi = yr[:, :, :Wf], yi[:, :, :Wf]
+        yr, yi = yr[:, :, :Wf].astype(jnp.float32), yi[:, :, :Wf].astype(jnp.float32)
 
         # 7) local irfft over W + ortho scale
         y = _irfft_axis(yr, yi, 2, W) * scale

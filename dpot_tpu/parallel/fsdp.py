@@ -69,24 +69,27 @@ def place_state(state: TrainState, mesh: Mesh, spec_fn) -> TrainState:
         # anything else (counts) is replicated
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    opt_state = state.opt_state
-    # a chained optimizer's state is a plain tuple of entries; a NamedTuple
-    # (e.g. AdamState) is ONE entry even though isinstance(-, tuple)
-    is_chain = isinstance(opt_state, tuple) and not hasattr(
-        opt_state, "_fields"
-    )
-    new_opt = []
-    for entry in (opt_state if is_chain else (opt_state,)):
+    def place_opt(entry):
+        # walk the optax state recursively: chains are plain tuples,
+        # wrappers (optax.masked's MaskedState — what TrainState.create
+        # produces for models with non-param collections like UNet's
+        # batch_stats) carry the real state in .inner_state. Without the
+        # unwrap, a masked optimizer's moments would be silently
+        # REPLICATED — at H scale that's the 12GB/chip OOM FSDP exists to
+        # prevent, and check_shardings would vacuously pass.
+        if isinstance(entry, tuple) and not hasattr(entry, "_fields"):
+            return tuple(place_opt(e) for e in entry)
+        if hasattr(entry, "inner_state"):
+            return entry._replace(inner_state=place_opt(entry.inner_state))
         if hasattr(entry, "mu") and hasattr(entry, "nu"):
-            entry = entry._replace(
+            return entry._replace(
                 count=put_opt(entry.count),
                 mu=put(entry.mu),
                 nu=put(entry.nu),
             )
-        else:
-            entry = jax.tree.map(put_opt, entry)
-        new_opt.append(entry)
-    opt_state = tuple(new_opt) if is_chain else new_opt[0]
+        return jax.tree.map(put_opt, entry)
+
+    opt_state = place_opt(state.opt_state)
 
     return state.replace(
         params=params,
@@ -107,13 +110,18 @@ def shard_state_fsdp(
 
 def _moment_entries(opt_state):
     """Yield the optimizer-state entries that carry param-shaped moments
-    (AdamState-likes with .mu/.nu), walking chained-transform tuples."""
-    is_chain = isinstance(opt_state, tuple) and not hasattr(
-        opt_state, "_fields"
-    )
-    for entry in (opt_state if is_chain else (opt_state,)):
-        if hasattr(entry, "mu") and hasattr(entry, "nu"):
-            yield entry
+    (AdamState-likes with .mu/.nu), walking chained-transform tuples AND
+    wrapper states (optax.masked's .inner_state) — a masked optimizer's
+    moments must not escape the sharding checks."""
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        for entry in opt_state:
+            yield from _moment_entries(entry)
+        return
+    if hasattr(opt_state, "inner_state"):
+        yield from _moment_entries(opt_state.inner_state)
+        return
+    if hasattr(opt_state, "mu") and hasattr(opt_state, "nu"):
+        yield opt_state
 
 
 def check_shardings(

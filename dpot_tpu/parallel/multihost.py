@@ -56,36 +56,70 @@ def maybe_initialize(
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already" in str(e):
-            return True  # idempotent re-entry
+        # idempotent re-entry. jax 0.9 says "distributed.initialize should
+        # only be called once"; older versions said "already initialized"
+        if "already" in str(e) or "only be called once" in str(e):
+            return True
         raise
     return True
 
 
-def host_batch_slice(global_batch_size: int) -> tuple[int, int]:
-    """(start, size) of this host's slice of a global batch."""
-    n = jax.process_count()
-    i = jax.process_index()
-    per = global_batch_size // n
-    assert per * n == global_batch_size, (
-        f"global batch {global_batch_size} must divide {n} hosts"
-    )
-    return i * per, per
-
-
 def global_batch_from_local(batch: dict, mesh: Mesh,
                             spatial_sharded: bool = False) -> dict:
-    """Assemble per-host numpy shards into global sharded jax.Arrays."""
+    """Assemble per-host numpy shards into global sharded jax.Arrays.
+
+    Mirrors mesh.shard_batch's graceful degradation: a global batch whose
+    size doesn't divide the 'data' axis (trailing tail the loader's
+    host-divisibility filter let through) is fully replicated — every
+    process holds the SAME global batch in that case, which
+    make_array_from_process_local_data cannot express per-host, so it is
+    device_put replicated via process-local assembly."""
     from dpot_tpu.parallel.mesh import batch_spec
 
+    n_data = mesh.shape["data"]
+    n_proc = jax.process_count()
     out = {}
     for k, v in batch.items():
+        divisible = (
+            np.ndim(v) == 0
+            or (np.shape(v)[0] * n_proc) % n_data == 0
+        )
         spec = (
-            batch_spec(np.ndim(v), spatial_sharded) if np.ndim(v) > 0 else P()
+            batch_spec(np.ndim(v), spatial_sharded)
+            if np.ndim(v) > 0 and divisible
+            else P()
         )
         sharding = NamedSharding(mesh, spec)
-        if jax.process_count() == 1:
+        if n_proc == 1:
             out[k] = jax.device_put(v, sharding)
-        else:
+        elif divisible:
             out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            # replicated fallback: every host concatenates the full global
+            # batch from the per-host slices via allgather-by-construction
+            # (the loader gives each host a contiguous slice; a replicated
+            # global array must carry the CONCATENATION). Correct but
+            # n_data x redundant compute — same warning contract as
+            # shard_batch.
+            import warnings
+
+            warnings.warn(
+                f"global batch dim {np.shape(v)[0] * n_proc} of {k!r} does "
+                f"not divide data axis {n_data}; replicating this batch "
+                "(correct but slower). Pad or drop trailing partials.",
+                stacklevel=2,
+            )
+            glob = _allgather_host_slices(np.asarray(v))
+            out[k] = jax.make_array_from_process_local_data(sharding, glob)
     return out
+
+
+def _allgather_host_slices(local: np.ndarray) -> np.ndarray:
+    """Concatenate each process's contiguous batch slice into the full
+    global batch on EVERY process (host-side, via the jax.experimental
+    multihost utils broadcast; cheap — tails are rare and small)."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(local, tiled=True)
+    )

@@ -269,6 +269,15 @@ def train(
 
     # parameter placement strategy (restore/init above already produced the
     # host-side tree, so placement here covers resumed runs too)
+    if cfg.shard_params != "replicate" and jax.process_count() > 1:
+        # place_state device_puts onto the global mesh, which is illegal
+        # for committed local arrays on non-addressable devices — fail
+        # with a config error instead of a deep device_put crash
+        raise ValueError(
+            f"shard_params={cfg.shard_params!r} is single-controller only "
+            "today; multihost runs are dp-replicated (use "
+            "shard_params=replicate)"
+        )
     if cfg.shard_params == "fsdp":
         from dpot_tpu.parallel.fsdp import shard_state_fsdp
 

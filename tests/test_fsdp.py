@@ -98,3 +98,65 @@ def test_fsdp_shardings_survive_donated_steps():
         bad = check_fsdp_shardings(state, mesh, min_size=min_size)
         assert bad == [], f"{len(bad)} leaves lost sharding: {bad[:5]}"
         assert np.isfinite(float(jnp.reshape(aux["loss_step"], ())))
+
+
+def test_fsdp_shards_masked_optimizer_moments():
+    """A model with a non-param collection (UNet's batch_stats) makes
+    TrainState.create wrap the optimizer in optax.masked; place_state and
+    the sharding checks must see THROUGH MaskedState.inner_state — the
+    regression was silently replicated moments (the H-scale OOM FSDP
+    exists to prevent) with check_fsdp_shardings vacuously passing."""
+    from dpot_tpu.models import build_model
+    from dpot_tpu.parallel.fsdp import _moment_entries, check_fsdp_shardings
+
+    model = build_model(
+        "UNet", img_size=16, patch_size=4, in_channels=2, out_channels=2,
+        in_timesteps=4, out_timesteps=1, modes=4, n_cls=2, embed_dim=32,
+        depth=1, n_blocks=4, out_layer_dim=8,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((8, 16, 16, 4, 2)), jnp.float32),
+        "y": jnp.asarray(rng.standard_normal((8, 16, 16, 1, 2)), jnp.float32),
+        "msk": jnp.ones((8, 16, 16, 1, 2), jnp.float32),
+        "cls": jnp.zeros((8,), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch["x"])
+    assert "batch_stats" in params
+    tx = build_optimizer("adam", 1e-3, grad_clip=1.0)
+    state = TrainState.create(model.apply, params, tx, jax.random.key(1))
+    # precondition: the wrapper is actually there
+    assert hasattr(
+        jax.tree.leaves(
+            state.opt_state, is_leaf=lambda e: hasattr(e, "inner_state")
+        )[0],
+        "inner_state",
+    ) or any(
+        hasattr(e, "inner_state")
+        for e in (state.opt_state if isinstance(state.opt_state, tuple)
+                  else (state.opt_state,))
+    )
+
+    mesh = make_mesh(data=8, spatial=1)
+    min_size = 2**8
+    sharded = shard_state_fsdp(state, mesh, min_size=min_size)
+    entries = list(_moment_entries(sharded.opt_state))
+    assert entries, "moment entries invisible through MaskedState"
+    # at least one large moment leaf is actually split over 'data'
+    split = 0
+    for e in entries:
+        for lf in jax.tree.leaves(e.mu):
+            shard = int(np.prod(lf.sharding.shard_shape(lf.shape)))
+            if int(np.prod(lf.shape)) >= min_size and shard < int(
+                np.prod(lf.shape)
+            ):
+                split += 1
+    assert split > 0, "no moment leaf was sharded"
+    assert check_fsdp_shardings(sharded, mesh, min_size=min_size) == []
+
+    # and the sharded state still trains
+    step = make_train_step(t_bundle=1, noise_scale=0.0, donate=False)
+    sb = shard_batch(batch, mesh)
+    out, aux = step(sharded, sb)
+    assert np.isfinite(float(jax.device_get(aux["loss_step"])))
+    assert check_fsdp_shardings(out, mesh, min_size=min_size) == []
