@@ -117,7 +117,7 @@ class AFNO2D(nn.Module):
             )
             return out.reshape(B, H, W, C)
         mesh = self.spatial_mesh
-        if mesh is not None and mesh.shape[self.spatial_axis] > 1:
+        if mesh is not None and mesh.shape.get(self.spatial_axis, 1) > 1:
             from dpot_tpu.parallel.dist_fft import afno_filter_2d_sharded
 
             # split B over 'data' too when it divides (dp x sp); otherwise
@@ -322,11 +322,16 @@ class UnpatchConv(nn.Module):
     def __call__(self, x):  # (..., h, w, D)
         p = self.patch_size
         *lead, h, w, D = x.shape
+        # torch ConvTranspose2d computes fan_in from weight.size(1)*k*k =
+        # OUT_channels*p*p (not in_channels like Conv2d) — both weight and
+        # bias bounds use it; from-scratch inits must match the reference
         kernel = self.param(
-            "kernel", torch_linear_weight(fan_in=D * p * p),
+            "kernel", torch_linear_weight(fan_in=self.features * p * p),
             (p, p, D, self.features),
         )
-        bias = self.param("bias", torch_bias(D), (self.features,))
+        bias = self.param(
+            "bias", torch_bias(self.features * p * p), (self.features,)
+        )
         lead_t = tuple(lead)
         nl = len(lead_t)
         k = (

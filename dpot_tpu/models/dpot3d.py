@@ -51,9 +51,13 @@ class AFNO3D(nn.Module):
         b1 = self.param("b1", scaled_uniform(scale), (2, nb, bs))
         w2 = self.param("w2", scaled_uniform(scale), (2, nb, bs, bs))
         b2 = self.param("b2", scaled_uniform(scale), (2, nb, bs))
+        # the reference AFNO3D hardcodes F.gelu inside the spectral mode
+        # MLP regardless of the configured act (models/dpot3d.py:63-74 —
+        # unlike 2D, where act is threaded through); parity requires the
+        # same here, whatever self.act says
         return afno_filter_3d(
             x, w1, b1, w2, b2, self.modes, self.temporal_modes,
-            get_activation(self.act), compute_dtype=self.dtype,
+            get_activation("gelu"), compute_dtype=self.dtype,
         )
 
 

@@ -97,6 +97,16 @@ def _rinv_mats(n: int):
 
 
 def _cm(mats, dtype):
+    """DFT constant matrices in the contraction dtype. Low-precision
+    inputs (bf16/f16) get F32 matrices: tensordot(bf16, f32) promotes to
+    f32, so every multi-stage transform accumulates n-term sums in f32 —
+    a bf16 matrix would chain bf16 roundings per stage (~1e-2 relative
+    drift at 512 points; the dist_fft bug class, commit d6130a2). Callers
+    that want bf16 MXU inputs still get them (the bf16 operand stays
+    bf16; only the accumulate/result is f32)."""
+    dtype = jnp.dtype(dtype)
+    if dtype in (jnp.bfloat16, jnp.float16):
+        dtype = jnp.float32
     return tuple(jnp.asarray(m, dtype) for m in mats)
 
 

@@ -64,11 +64,17 @@ def scaled_normal(scale: float) -> Initializer:
     return init
 
 
-def trunc_normal(std: float = 0.02) -> Initializer:
-    """Truncated normal at +-2 std, matching torch.nn.init.trunc_normal_."""
+def trunc_normal(std: float = 0.02, a: float = -2.0, b: float = 2.0) -> Initializer:
+    """torch.nn.init.trunc_normal_ semantics: a/b are ABSOLUTE cutoffs,
+    not multiples of std. At the reference's std=0.02 the +-2 window is
+    +-100 sigma — effectively an untruncated normal with exact std 0.02
+    (truncating at +-2 SIGMA instead would shrink the std ~12% to
+    0.88*std, a from-scratch init drift vs the reference)."""
 
     def init(key, shape, dtype=jnp.float32):
-        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+        return std * jax.random.truncated_normal(
+            key, a / std, b / std, shape, dtype
+        )
 
     return init
 

@@ -280,10 +280,24 @@ def spectral_resize(x: jax.Array, out_size: tuple[int, int]) -> jax.Array:
 
 def resize_temporal(x: jax.Array, out_size: tuple[int, int]) -> jax.Array:
     """Spectral resize for (B, X, Y, T, C) layout (reference resize with
-    temporal=True, utils/utilities.py:277-282)."""
+    temporal=True, utils/utilities.py:277-282) — the pair FFT works on
+    axes (1, 2) directly, so the layout stays channels-last end to end
+    (no NCHW round-trip; CLAUDE.md conventions)."""
     B, X, Y, T, C = x.shape
-    xs = jnp.transpose(x, (0, 3, 4, 1, 2)).reshape(B, T * C, X, Y)
-    ys = spectral_resize(xs, out_size)
-    return jnp.transpose(
-        ys.reshape(B, T, C, out_size[0], out_size[1]), (0, 3, 4, 1, 2)
+    oh, ow = out_size
+    fr, fi = rfft2_pair(x.astype(jnp.float32), axes=(1, 2), norm="backward")
+
+    top1 = min((X + 1) // 2, (oh + 1) // 2)
+    top2 = min(fr.shape[2], ow // 2 + 1)
+    bot1 = min(X // 2, oh // 2)
+
+    def scatter(f):
+        fz = jnp.zeros((B, oh, ow // 2 + 1, T, C), dtype=f.dtype)
+        fz = fz.at[:, :top1, :top2].set(f[:, :top1, :top2])
+        fz = fz.at[:, oh - bot1 :, :top2].set(f[:, X - bot1 :, :top2])
+        return fz
+
+    y = irfft2_pair(
+        scatter(fr), scatter(fi), s=(oh, ow), axes=(1, 2), norm="backward"
     )
+    return (y * (oh / X) * (ow / Y)).astype(x.dtype)

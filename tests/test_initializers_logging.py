@@ -64,9 +64,18 @@ def test_afno_and_misc_initializers():
     n = np.asarray(scaled_normal(0.5)(jax.random.key(1), (4096,)))
     assert abs(n.std() - 0.5) < 0.02
 
-    t = np.asarray(trunc_normal(0.02)(jax.random.key(2), (4096,)))
-    assert np.abs(t).max() <= 0.04 + 1e-6  # clipped at 2 std
-    assert abs(t.std() - 0.02) < 0.004
+    # torch.nn.init.trunc_normal_ semantics: a/b are ABSOLUTE cutoffs
+    # (+-2 = +-100 sigma at std=0.02 — effectively untruncated, exact std
+    # 0.02). The old +-2-SIGMA clipping shrank the std ~12% (0.88*std).
+    t = np.asarray(trunc_normal(0.02)(jax.random.key(2), (65536,)))
+    assert np.abs(t).max() <= 2.0
+    assert np.abs(t).max() > 0.04  # NOT clipped at 2 sigma
+    import torch
+
+    ref = torch.empty(65536)
+    torch.nn.init.trunc_normal_(ref, std=0.02)
+    assert abs(t.std() - ref.numpy().std()) < 5e-4
+    assert abs(t.std() - 0.02) < 5e-4
 
     g = np.asarray(gamma_geometric()(jax.random.key(3), (1, 8)))
     np.testing.assert_allclose(g[0], 2.0 ** np.linspace(-10, 10, 8), rtol=1e-6)
@@ -92,3 +101,31 @@ def test_metric_writer_jsonl_and_scalar_names(tmp_path):
     assert tags.get("train_loss_full") == 0.25
     log = open(os.path.join(d, "logs.txt")).read()
     assert "epoch 0 done" in log
+
+
+def test_unpatch_conv_init_matches_torch_convtranspose():
+    """From-scratch UnpatchConv init must use torch ConvTranspose2d's
+    fan_in = OUT_channels*k*k (weight.size(1)*k*k — not in_channels like
+    Conv2d): with D=256 >> O=8, the old in-channel fan_in drew weights
+    ~5.7x too small."""
+    import torch
+
+    from dpot_tpu.models.dpot import UnpatchConv
+
+    D, O, p = 256, 8, 4
+    m = UnpatchConv(features=O, patch_size=p)
+    params = m.init(jax.random.key(0), jnp.zeros((1, 4, 4, D)))
+    k = np.asarray(params["params"]["kernel"])
+    b = np.asarray(params["params"]["bias"])
+
+    ref = torch.nn.ConvTranspose2d(D, O, p, stride=p)
+    bound = 1.0 / np.sqrt(O * p * p)
+    # torch kaiming_uniform(a=sqrt(5)) on ConvTranspose2d gives exactly
+    # U(-1/sqrt(O*k*k), +1/sqrt(O*k*k)) — check ours against both the
+    # analytic bound and the real torch draw
+    assert abs(ref.weight.detach().numpy().max() - bound) / bound < 0.05
+    assert abs(k.max() - bound) / bound < 0.05
+    assert k.min() < -0.9 * bound
+    assert abs(b).max() <= bound + 1e-7
+    # and NOT the old in-channel fan_in (whose bound is 5.7x smaller)
+    assert k.max() > 2.0 / np.sqrt(D * p * p)
