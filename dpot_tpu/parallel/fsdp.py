@@ -49,17 +49,42 @@ def fsdp_specs(params: Any, mesh: Mesh, axis: str = "data",
     return jax.tree.map(lambda p: param_spec(p, n, axis, min_size), params)
 
 
+def _put_global(x, mesh: Mesh, spec: P):
+    """Place one leaf with a NamedSharding. Single-controller: device_put.
+    Multi-process meshes span non-addressable devices where device_put of
+    a committed local array is illegal — there the global sharded array
+    is assembled from this process's (identical, seed-deterministic or
+    checkpoint-restored) host copy via make_array_from_callback; PRNG
+    keys travel as raw key data (same pattern as mesh.replicate)."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+        x.dtype, jax.dtypes.prng_key
+    ):
+        impl = jax.random.key_impl(x)
+        data = np.asarray(jax.random.key_data(x))
+        g = jax.make_array_from_callback(
+            data.shape, NamedSharding(mesh, P()), lambda idx: data[idx]
+        )
+        return jax.random.wrap_key_data(g, impl=impl)
+    host = np.asarray(x)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
 def place_state(state: TrainState, mesh: Mesh, spec_fn) -> TrainState:
     """Place params and matching optimizer moments with spec_fn(tree)
     shardings; scalars (step counts, rng) replicated. spec_fn maps a
     param-shaped pytree to a PartitionSpec tree — the shared placement
     engine behind FSDP (fsdp_specs) and tensor parallelism
-    (parallel/tensor.py tp_specs)."""
+    (parallel/tensor.py tp_specs). Works on multi-process meshes too
+    (_put_global)."""
 
     def put(tree):
         return jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-            tree, spec_fn(tree),
+            lambda x, s: _put_global(x, mesh, s), tree, spec_fn(tree)
         )
 
     params = put(state.params)
@@ -67,7 +92,7 @@ def place_state(state: TrainState, mesh: Mesh, spec_fn) -> TrainState:
     def put_opt(x):
         # moments share the param tree structure inside AdamState.mu/nu;
         # anything else (counts) is replicated
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        return _put_global(x, mesh, P())
 
     def place_opt(entry):
         # walk the optax state recursively: chains are plain tuples,
@@ -95,7 +120,7 @@ def place_state(state: TrainState, mesh: Mesh, spec_fn) -> TrainState:
         params=params,
         opt_state=opt_state,
         step=put_opt(state.step),
-        rng=jax.device_put(state.rng, NamedSharding(mesh, P())),
+        rng=_put_global(state.rng, mesh, P()),
     )
 
 

@@ -66,9 +66,16 @@ def _write_payload(path: str, payload: dict, config: Optional[dict]) -> None:
     crash-safely: the new state is fully written to 'state.new' first,
     then swapped in. A crash mid-write leaves the previous checkpoint
     intact; a crash mid-swap leaves the completed 'state.new', which
-    restore falls back to (_live_state_dir)."""
+    restore falls back to (_live_state_dir).
+
+    Multihost writes take the npz path even when orbax is available:
+    ocp's AsyncCheckpointer runs cross-process barriers when
+    jax.distributed is initialized, and only process 0 reaches this
+    function — a one-process orbax save would hang on those barriers.
+    The payload is plain host numpy either way; restore reads both
+    formats."""
     os.makedirs(path, exist_ok=True)
-    if _HAS_ORBAX:
+    if _HAS_ORBAX and jax.process_count() == 1:
         import shutil
 
         target = os.path.join(path, "state")
@@ -176,9 +183,15 @@ def save_checkpoint(
 ):
     """Save full train state (params/opt/step/rng) + config json. With a
     writer, the disk write happens in the background (see
-    AsyncCheckpointWriter); the host fetch is synchronous either way."""
+    AsyncCheckpointWriter); the host fetch is synchronous either way.
+
+    Multihost: call on ALL processes when the state is cross-process
+    sharded (FSDP/TP over a multi-process mesh) — the host fetch
+    all-gathers sharded leaves, a collective. Only process 0 writes."""
     path = os.path.abspath(path)
     payload = _host_payload(state)
+    if jax.process_index() != 0:
+        return
     if writer is not None:
         writer.submit(path, payload, config)
     else:

@@ -216,14 +216,18 @@ def train(
         )
     writer = MetricWriter(log_dir)
     ckpt_dir = os.path.join(log_dir, "model") if log_dir else None
-    if ckpt_dir and jax.process_index() != 0:
-        # one writer per job: the dp-replicated state is fully addressable
-        # from process 0 (a state sharded ACROSS processes would need a
-        # multiprocess checkpointer — today only single-controller runs
-        # shard params; multihost runs are dp-replicated, train/interop.py)
+    # multihost checkpointing: a cross-process-SHARDED state (FSDP/TP over
+    # a multi-process mesh) makes the host fetch a COLLECTIVE (sharded
+    # leaves all-gather, utils/profiling.host_fetch), so every process
+    # must call save_checkpoint — only process 0 writes (checkpoint.py).
+    # dp-replicated states stay process-0-only (fully readable there).
+    dist_sharded = (
+        jax.process_count() > 1 and cfg.shard_params != "replicate"
+    )
+    if ckpt_dir and jax.process_index() != 0 and not dist_sharded:
         ckpt_dir = None
     ckpt_writer = None
-    if ckpt_dir and cfg.async_ckpt:
+    if ckpt_dir and cfg.async_ckpt and jax.process_index() == 0:
         from dpot_tpu.train.checkpoint import AsyncCheckpointWriter
 
         ckpt_writer = AsyncCheckpointWriter()
@@ -268,16 +272,9 @@ def train(
         writer.text(f"warm-started params from {cfg.init_from}")
 
     # parameter placement strategy (restore/init above already produced the
-    # host-side tree, so placement here covers resumed runs too)
-    if cfg.shard_params != "replicate" and jax.process_count() > 1:
-        # place_state device_puts onto the global mesh, which is illegal
-        # for committed local arrays on non-addressable devices — fail
-        # with a config error instead of a deep device_put crash
-        raise ValueError(
-            f"shard_params={cfg.shard_params!r} is single-controller only "
-            "today; multihost runs are dp-replicated (use "
-            "shard_params=replicate)"
-        )
+    # host-side tree, so placement here covers resumed runs too; on
+    # multi-process meshes place_state assembles global sharded arrays
+    # from the host copies — parallel/fsdp._put_global)
     if cfg.shard_params == "fsdp":
         from dpot_tpu.parallel.fsdp import shard_state_fsdp
 

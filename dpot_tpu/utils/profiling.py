@@ -38,13 +38,25 @@ def host_fetch(tree):
     scalar leaves (train step counters, optimizer counts) travel via a
     (1,1) reshape — rank-0 D2H transfers are unimplemented on the tunneled
     TPU backend (same workaround as fence). numpy/python leaves pass
-    through untouched (no pointless H2D round-trip). THE helper for full
-    host snapshots/checkpoint payloads; keep the workaround in one place."""
+    through untouched (no pointless H2D round-trip). Cross-process-SHARDED
+    leaves (multihost FSDP/TP states) are all-gathered to every host — a
+    COLLECTIVE, so multihost callers must invoke host_fetch on all
+    processes symmetrically (train/checkpoint.save_checkpoint does). THE
+    helper for full host snapshots/checkpoint payloads; keep the
+    workarounds in one place."""
     import jax.numpy as jnp
 
     def get(a):
         if isinstance(a, (np.ndarray, np.generic)) or not hasattr(a, "ndim"):
             return a
+        if (
+            isinstance(a, jax.Array)
+            and not a.is_fully_addressable
+            and not a.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(a))
         if a.ndim == 0:
             return np.asarray(jnp.reshape(a, (1, 1))).reshape(()).copy()
         return np.asarray(jax.device_get(a))

@@ -45,12 +45,35 @@ cfg = TrainConfig(
     train_paths=["mh_corpus"], res=32, T_in=4, T_ar=1, noise_scale=0.0,
     opt="adam", lr=1e-3, lr_method="step", batch_size=8, epochs=2,
     seed=0, num_workers=2, use_writer=False,
+    shard_params="fsdp" if mode == "dist_fsdp" else "replicate",
 )
-out = train(cfg)
-print("RESULT", json.dumps({
+log_dir = os.environ.get("MH_LOG_DIR")
+if mode == "dist_fsdp":
+    cfg.use_writer = True
+out = train(cfg, log_dir=(os.path.join(log_dir, f"p{jax.process_index()}")
+                          if (log_dir and mode == "dist_fsdp") else None))
+result = {
     "train_l2_step": out["train_l2_step"],
     "test_l2_fulls": out["test_l2_fulls"],
-}), flush=True)
+}
+if mode == "dist_fsdp":
+    # the checkpoint written from the cross-process-sharded state must
+    # restore to the live values (collective host fetch on save)
+    import numpy as np
+    from jax.experimental import multihost_utils
+    # process 1 must not read before process 0's write lands
+    multihost_utils.sync_global_devices("ckpt_written")
+    from dpot_tpu.train.checkpoint import restore_checkpoint
+    from dpot_tpu.utils.profiling import host_fetch
+    ck = os.path.join(log_dir, "p0", "model")
+    assert os.path.exists(ck), "process 0 wrote no checkpoint"
+    restored = restore_checkpoint(ck, out["state"])
+    live = host_fetch(out["state"].params)
+    back = jax.device_get(restored.params)
+    for a, b in zip(jax.tree.leaves(live), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    result["restored_step"] = int(np.asarray(restored.step))
+print("RESULT", json.dumps(result), flush=True)
 """
 
 
@@ -112,6 +135,35 @@ def test_two_process_training_matches_single_process():
                                rtol=1e-4)
     np.testing.assert_allclose(r0["test_l2_fulls"], rs["test_l2_fulls"],
                                rtol=1e-4)
+
+
+def test_two_process_fsdp_matches_single_and_checkpoints(tmp_path):
+    """Multihost FSDP: params+moments sharded ACROSS processes must (a)
+    train to the same losses as the single-process replicated run, and
+    (b) checkpoint via the collective host fetch (sharded leaves
+    all-gather; process 0 writes) and restore to the live values — the
+    in-driver restore check plus restored_step pins it."""
+    port = _free_port()
+    dist_env = {
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "MH_LOG_DIR": str(tmp_path),
+    }
+    p0 = _run("dist_fsdp", {**dist_env, "JAX_PROCESS_ID": "0"})
+    p1 = _run("dist_fsdp", {**dist_env, "JAX_PROCESS_ID": "1"})
+    single = _run("single", {})
+
+    r0 = _result(p0)
+    r1 = _result(p1)
+    rs = _result(single)
+
+    np.testing.assert_allclose(r0["train_l2_step"], r1["train_l2_step"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r0["train_l2_step"], rs["train_l2_step"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(r0["test_l2_fulls"], rs["test_l2_fulls"],
+                               rtol=1e-4)
+    assert r0["restored_step"] == r1["restored_step"] == 4  # 2 ep x 2 steps
 
 
 def test_loader_shards_partition_global_batches():
