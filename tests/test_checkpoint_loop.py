@@ -664,3 +664,25 @@ def test_config_validation_rejects_bad_knobs():
         TrainConfig(batch_size=8, grad_accum=3)
     with pytest.raises(AssertionError, match="steps_per_dispatch"):
         TrainConfig(steps_per_dispatch=0)
+
+
+def test_grad_accum_composes_with_steps_per_dispatch(tmp_path):
+    """All three batch-shaping levers at once — grad_accum microbatching
+    INSIDE each of K fused dispatch steps, with an odd tail (38 = 2*16+6)
+    that falls back through both levers — must train finite and take
+    exactly ceil(38/8)=5 optimizer steps/epoch."""
+    from dpot_tpu.data.registry import make_synthetic_spec
+
+    make_synthetic_spec(
+        "fuse_ga", train_size=38, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+    cfg = TrainConfig(
+        model="DPOT", train_paths=["fuse_ga"], res=16, patch_size=4,
+        width=32, n_layers=1, n_blocks=4, modes=4, T_in=6, batch_size=8,
+        grad_accum=2, steps_per_dispatch=2, epochs=1, num_workers=2,
+        lr=1e-3, opt="adam", use_writer=True,
+    )
+    out = train(cfg, log_dir=str(tmp_path / "run"))
+    assert np.isfinite(out["train_l2_step"])
+    assert int(jax.device_get(out["state"].step)) == 5
