@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import itertools
+import os
 from typing import Any, List, Optional, Sequence
 
 
@@ -167,6 +168,12 @@ class TrainConfig:
 def _parser_for(cls) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--config_file", type=str, default=None)
+    # adopt --resume_path's saved model architecture as the base config
+    # (utils/config.ckpt_config_base); YAML and flags still override
+    p.add_argument(
+        "--config_from_ckpt", type=lambda v: v.lower() in ("1", "true", "yes"),
+        default=False,
+    )
     for f in dataclasses.fields(cls):
         name = f"--{f.name}"
         default: Any = None  # None sentinel: "not passed on CLI"
@@ -186,14 +193,42 @@ def _parser_for(cls) -> argparse.ArgumentParser:
     return p
 
 
+def ckpt_config_base(resume_path: str) -> dict:
+    """MODEL-ARCHITECTURE fields from a checkpoint dir's params.json (the
+    config the state was trained with, saved by train/checkpoint.py).
+    Only architecture-defining keys are adopted — an eval/serve run wants
+    the checkpoint's model shape, not its training schedule or datasets.
+    The act/use_ln class of mismatch is invisible to restore_params (same
+    param treedef) and silently changes predictions; adopting the saved
+    values roots that out."""
+    import json as _json
+
+    cfgp = os.path.join(os.path.abspath(resume_path), "params.json")
+    if not os.path.exists(cfgp):
+        return {}
+    with open(cfgp) as f:
+        saved = _json.load(f)
+    arch_keys = (
+        "model", "res", "patch_size", "width", "n_layers", "n_blocks",
+        "modes", "T_in", "T_bundle", "mlp_ratio", "out_layer_dim", "act",
+        "use_ln", "normalize", "time_agg",
+    )
+    return {k: saved[k] for k in arch_keys if k in saved}
+
+
 def load_config(
     argv: Optional[Sequence[str]] = None, cls=TrainConfig
 ):
-    """YAML (--config_file) < CLI flags, like the reference's
-    trainer.py flatten-YAML-to-CLI scheme but in one step."""
+    """checkpoint params.json (--config_from_ckpt) < YAML (--config_file)
+    < CLI flags, like the reference's trainer.py flatten-YAML-to-CLI
+    scheme but in one step. --config_from_ckpt true makes --resume_path's
+    saved architecture the base config (eval/serve no longer have to
+    re-type —width/--act... and can't mis-type them)."""
     p = _parser_for(cls)
     ns = p.parse_args(argv)
     base: dict[str, Any] = {}
+    if getattr(ns, "config_from_ckpt", None) and ns.resume_path:
+        base.update(ckpt_config_base(ns.resume_path))
     if ns.config_file:
         import yaml
 

@@ -157,3 +157,46 @@ def test_convert_cli_fno(tmp_path):
         ).split()
     )
     assert np.isfinite(results["synth_rt"]["loss_full"])
+
+
+def test_config_from_ckpt_adopts_architecture(tmp_path):
+    """--config_from_ckpt true: eval adopts the checkpoint's saved model
+    architecture (act/width/patch_size...) from params.json, so a
+    non-default activation can't be silently mis-served by forgetting to
+    re-type the flag (the act class of mismatch is invisible to
+    restore_params)."""
+    import json
+
+    from dpot_tpu.data.registry import make_synthetic_spec
+    from dpot_tpu.utils.config import ckpt_config_base, load_config
+
+    make_synthetic_spec(
+        "cfgck", train_size=16, test_size=8, t_total=12, t_test=2,
+        in_size=(16, 16), n_channels=1,
+    )
+    from dpot_tpu.train.loop import train
+    from dpot_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        model="DPOT", train_paths=["cfgck"], res=16, patch_size=4, width=32,
+        n_layers=1, n_blocks=4, modes=4, T_in=6, act="tanh", epochs=1,
+        batch_size=8, num_workers=2, lr=1e-3, opt="adam", use_writer=True,
+    )
+    train(cfg, log_dir=str(tmp_path / "run"))
+    ck = str(tmp_path / "run" / "model")
+
+    base = ckpt_config_base(ck)
+    assert base["act"] == "tanh" and base["width"] == 32
+    assert "lr" not in base and "train_paths" not in base  # arch only
+
+    got = load_config(
+        ["--config_from_ckpt", "true", "--resume_path", ck,
+         "--test_paths", "cfgck"]
+    )
+    assert got.act == "tanh" and got.width == 32 and got.patch_size == 4
+    assert got.T_in == 6 and got.modes == 4 and got.n_layers == 1
+    # flags still override the adopted base
+    got2 = load_config(
+        ["--config_from_ckpt", "true", "--resume_path", ck, "--act", "gelu"]
+    )
+    assert got2.act == "gelu"
