@@ -62,6 +62,7 @@ def evaluate(
         boundary_rmse_2d,
         boundary_rmse_3d,
         evaluator_metrics,
+        spectral_band_mse_1d,
         spectral_band_mse_2d,
         spectral_band_mse_3d,
     )
@@ -147,8 +148,7 @@ def evaluate(
                     bands = spectral_band_mse_2d(pred, tgt)
                 else:
                     bd = boundary_rmse_1d(pred, tgt)
-                    bands = None  # no spectral battery for 1D (reference
-                    # compute_fourier_error only bins 2D/3D grids)
+                    bands = spectral_band_mse_1d(pred, tgt)
                 vals = {
                     "nmae": vmean(m["nmae"]), "nmse": vmean(m["nmse"]),
                     "nmxe": vmean(m["nmxe"]), "bdmse": vmean(bd),

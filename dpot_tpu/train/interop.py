@@ -35,9 +35,13 @@ def _np(t) -> np.ndarray:
 
 
 def strip_module_prefix(sd: Mapping[str, Any]) -> dict[str, Any]:
-    if next(iter(sd)).startswith("module."):
-        return {k[len("module."):]: v for k, v in sd.items()}
-    return dict(sd)
+    """Strip the DDP 'module.' prefix PER KEY — a mixed dict (some keys
+    unprefixed) must not have 7 chars sliced off its clean keys, and an
+    empty dict is a plain empty dict, not a StopIteration."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
 
 
 def _linear(sd, prefix):

@@ -54,7 +54,7 @@ def warmup_inv_sqrt(base_lr: float, warmup_steps: int):
     """LambdaLR(min((s+1)/warmup, sqrt(warmup/(s+1)))) (train_temporal.py:146)."""
 
     def schedule(count):
-        s = count.astype(jnp.float32) + 1.0
+        s = jnp.asarray(count, jnp.float32) + 1.0
         return base_lr * jnp.minimum(s / warmup_steps, jnp.sqrt(warmup_steps / s))
 
     return schedule
@@ -64,7 +64,7 @@ def linear_decay(base_lr: float, total_steps: int):
     """LambdaLR(1 - s/total) (train_temporal.py:149)."""
 
     def schedule(count):
-        return base_lr * (1.0 - count.astype(jnp.float32) / total_steps)
+        return base_lr * (1.0 - jnp.asarray(count, jnp.float32) / total_steps)
 
     return schedule
 
@@ -73,7 +73,7 @@ def cosine_restarts(base_lr: float, t0_steps: int):
     """CosineAnnealingWarmRestarts(T_0, eta_min=0) (train_temporal.py:152)."""
 
     def schedule(count):
-        t = jnp.mod(count.astype(jnp.float32), t0_steps) / t0_steps
+        t = jnp.mod(jnp.asarray(count, jnp.float32), t0_steps) / t0_steps
         return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
 
     return schedule
@@ -85,7 +85,7 @@ def cyclic_triangular2(
     """CyclicLR(mode='triangular2') (train_temporal.py:154)."""
 
     def schedule(count):
-        c = count.astype(jnp.float32)
+        c = jnp.asarray(count, jnp.float32)
         cycle = jnp.floor(1.0 + c / (2.0 * step_size_up))
         x = jnp.abs(c / step_size_up - 2.0 * cycle + 1.0)
         scale = 1.0 / (2.0 ** (cycle - 1.0))

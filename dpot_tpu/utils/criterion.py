@@ -193,6 +193,31 @@ def spectral_band_mse_2d(
     return low, mid, high
 
 
+def spectral_band_mse_1d(
+    pred: jax.Array, target: jax.Array, ilow: int = 4, ihigh: int = 12
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """1D binned spectral MSE (reference compute_fourier_error
+    len(idxs)==4 branch, utils/criterion.py:309-313,343-346: rfft over x,
+    sqrt(mean_B |dF|^2)/nx, then low/mid/high means over the frequency
+    axis). pred/target: (B, X, T, C). Returns (low, mid, high), each
+    (T, C). The rfft runs via the pair API (no jnp.fft on the tunneled
+    TPU backend)."""
+    from dpot_tpu.ops.fourier import _rfft_axis
+
+    p = jnp.transpose(pred, (0, 3, 1, 2))  # B, C, X, T
+    t = jnp.transpose(target, (0, 3, 1, 2))
+    nx = p.shape[2]
+    # torch.fft.rfft's default 'backward' norm is the unscaled forward —
+    # exactly what _rfft_axis computes
+    dr, di = _rfft_axis((p - t).astype(jnp.float32), 2)
+    err = jnp.square(dr) + jnp.square(di)  # B, C, F, T
+    ef = jnp.sqrt(jnp.mean(err, axis=0)) / nx  # C, F, T
+    low = jnp.mean(ef[:, :ilow], axis=1).T
+    mid = jnp.mean(ef[:, ilow:ihigh], axis=1).T
+    high = jnp.mean(ef[:, ihigh:], axis=1).T
+    return low, mid, high
+
+
 def boundary_rmse_1d(pred: jax.Array, target: jax.Array) -> jax.Array:
     """1D boundary RMSE (reference compute_fourier_error len(idxs)==4 branch,
     utils/criterion.py:284-286). pred/target: (B, X, T, C)."""
@@ -206,7 +231,13 @@ def boundary_rmse_1d(pred: jax.Array, target: jax.Array) -> jax.Array:
 
 def boundary_rmse_3d(pred: jax.Array, target: jax.Array) -> jax.Array:
     """3D boundary RMSE (reference utils/criterion.py:295-307).
-    pred/target: (B, X, Y, Z, T, C)."""
+    pred/target: (B, X, Y, Z, T, C). Returns (C, T).
+
+    INTENTIONAL deviation: the reference's view([nb,-1,nt]) collapses
+    CHANNELS into the face sum (returning (T,)), unlike its own 1D/2D
+    branches which keep (C, T) — an inconsistency, not a semantic. This
+    port keeps channels separate across all ranks; identical at C=1
+    (golden-tested, tests/test_criterion.py)."""
     p = jnp.transpose(pred, (0, 5, 1, 2, 3, 4))  # B,C,X,Y,Z,T
     t = jnp.transpose(target, (0, 5, 1, 2, 3, 4))
     B, C = p.shape[0], p.shape[1]

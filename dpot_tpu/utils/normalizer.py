@@ -92,17 +92,18 @@ class QuantileTransformer:
     inverse). Invertible within the fitted range."""
 
     def __init__(self, X: np.ndarray, n_quantiles: int = 1000):
-        X = np.asarray(X, dtype=np.float32)
-        C = X.shape[-1]
-        flat = X.reshape(-1, C)
-        n_q = min(n_quantiles, flat.shape[0])
-        self.references = np.linspace(0.0, 1.0, n_q, dtype=np.float32)
-        self.quantiles = np.stack(
-            [np.quantile(flat[:, c], self.references) for c in range(C)],
-            axis=-1,
-        )  # (n_q, C)
+        # ONE quantile-fitting implementation (fit_quantiles): NaN-robust
+        # (nanpercentile) and monotonicity-enforced — np.quantile here
+        # would NaN-poison the tables and fp-noise could break
+        # np.interp's increasing-xp requirement
+        self.references, self.quantiles = fit_quantiles(
+            np.asarray(X, dtype=np.float32), n_quantiles
+        )
 
-    def transform(self, X, inverse=False, component="all"):
+    def transform(self, X, inverse=True, component="all"):
+        # inverse=True default matches every other transformer in this
+        # module (and the reference TorchQuantileTransformer) — a
+        # polymorphic caller must get the denormalizing direction
         X = np.asarray(X, dtype=np.float32)
         C = X.shape[-1]
         out = np.empty_like(X)
@@ -186,8 +187,11 @@ class DifferentiableQuantileTransformer:
         self.quantiles = jnp.asarray(quantiles, jnp.float32)  # (n_q, C)
         self.output_distribution = output_distribution
         # clip so inverse(transform(x)) stays consistent at the tails
-        # (reference utils/normalizer.py:370-373)
-        from jax.scipy.special import ndtri
+        # (reference utils/normalizer.py:370-373). Host scipy, NOT
+        # jax.scipy: float() of a rank-0 device array is an UNIMPLEMENTED
+        # D2H on the tunneled TPU backend (CLAUDE.md), and two scalar
+        # constants need no device dispatch.
+        from scipy.special import ndtri
 
         t = self.BOUNDS_THRESHOLD - np.spacing(1)
         self.clip_min = float(ndtri(t))

@@ -93,10 +93,17 @@ def test_quantile_transformer_roundtrip():
     rng = np.random.default_rng(2)
     X = rng.standard_normal((200, 4, 4, 2)).astype(np.float32) * 3 + 1
     qt = QuantileTransformer(X, n_quantiles=100)
-    z = qt.transform(X)
+    # inverse=True is the DEFAULT (denormalize), matching every other
+    # transformer in the module; the forward direction is explicit
+    z = qt.transform(X, inverse=False)
     assert 0.0 <= z.min() and z.max() <= 1.0
-    back = qt.transform(z, inverse=True)
+    back = qt.transform(z)
     np.testing.assert_allclose(back, X, atol=0.2, rtol=0.2)
+    # NaN-robust fit (fit_quantiles under the hood)
+    Xn = X.copy()
+    Xn[0, 0, 0, 0] = np.nan
+    qt2 = QuantileTransformer(Xn, n_quantiles=100)
+    assert np.isfinite(qt2.quantiles).all()
 
 
 def test_mlp_forward_parity_vs_reference():
