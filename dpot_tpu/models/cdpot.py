@@ -21,13 +21,22 @@ from dpot_tpu.ops.activations import get_activation
 from dpot_tpu.ops.initializers import torch_bias, torch_linear_weight, trunc_normal
 from dpot_tpu.ops.norms import instance_stats
 from dpot_tpu.ops.resample import low_pass_filter, lrelu_filtered
-from dpot_tpu.models.dpot import Block, TimeAggregator
+from dpot_tpu.models.dpot import Block, PatchConv, TimeAggregator
 
 Dtype = Any
 
 
 class CNOPatchEmbed(nn.Module):
-    """Reference CNOPatchEmbed (models/dpot_res.py:326-357)."""
+    """Reference CNOPatchEmbed (models/dpot_res.py:326-357).
+
+    Takes the RAW (B, H, W, T, C) input: proj1 is the PatchConv
+    space-to-depth matmul lowering with the (x, y, t) grid channels
+    folded in at latent resolution (models/dpot.py PatchConv — one
+    well-tiled matmul instead of a tiny-channel strided conv plus a
+    full-resolution grid materialization + transpose; same proj1
+    parameter names/shapes, checkpoints unchanged). The per-frame
+    (B*T, h, h, E) layout the filtered activation needs is formed AFTER
+    patchification, where the transpose is p^2 x cheaper."""
 
     patch_size: int
     embed_dim: int
@@ -36,14 +45,16 @@ class CNOPatchEmbed(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (N, H, W, C_in)
-        p = self.patch_size
-        c_in = x.shape[-1]
-        x = nn.Conv(
-            self.embed_dim, kernel_size=(p, p), strides=(p, p), padding="VALID",
-            kernel_init=torch_linear_weight(), bias_init=torch_bias(c_in * p * p),
-            dtype=self.dtype, name="proj1",
-        )(x)
+    def __call__(self, x):  # (B, H, W, T, C) raw, grid folded in proj1
+        B, _, _, T, _ = x.shape
+        h = self.latent_size
+        x = PatchConv(
+            features=self.embed_dim, patch_size=self.patch_size,
+            dtype=self.dtype, append_grid=True, name="proj1",
+        )(x)  # (B, h, h, T, E)
+        x = jnp.transpose(x, (0, 3, 1, 2, 4)).reshape(
+            B * T, h, h, self.embed_dim
+        )
         act_bias = self.param(
             "act_bias", nn.initializers.zeros, (self.embed_dim,)
         )
@@ -128,20 +139,9 @@ class CDPOTNet(nn.Module):
                 bias_init=torch_bias(2 * self.in_channels), name="scale_feats_sigma",
             )(stats)[:, None, None, :]
 
-        gx = jnp.linspace(0, 1, H, dtype=x.dtype)[None, :, None, None, None]
-        gy = jnp.linspace(0, 1, W, dtype=x.dtype)[None, None, :, None, None]
-        gt = jnp.linspace(0, 1, T, dtype=x.dtype)[None, None, None, :, None]
-        grid = jnp.concatenate(
-            [
-                jnp.broadcast_to(gx, (B, H, W, T, 1)),
-                jnp.broadcast_to(gy, (B, H, W, T, 1)),
-                jnp.broadcast_to(gt, (B, H, W, T, 1)),
-            ],
-            axis=-1,
-        )
-        x = jnp.concatenate([x, grid], axis=-1)
-
-        x = jnp.transpose(x, (0, 3, 1, 2, 4)).reshape(B * T, H, W, C + 3)
+        # grid channels fold into the patch matmul at latent resolution
+        # (PatchConv append_grid inside CNOPatchEmbed — no (B,H,W,T,3)
+        # materialization, no full-resolution transpose)
         x = CNOPatchEmbed(
             patch_size=p, embed_dim=self.out_channels * p + 3,
             out_dim=self.embed_dim, latent_size=h, dtype=self.dtype,

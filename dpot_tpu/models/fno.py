@@ -115,7 +115,7 @@ class FNO2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, T, C = x.shape
-        act = get_activation("gelu")
+        act = get_activation(self.act)  # default gelu == reference
         if self.normalize:
             mu, sigma = instance_stats(x, axes=(1, 2, 3))
             x = (x - mu) / sigma
@@ -248,12 +248,13 @@ class FNO3d(nn.Module):
     use_ln: bool = False
     normalize: bool = False
     n_cls: int = 0
+    act: str = "gelu"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, L, T, C = x.shape
-        act = get_activation("gelu")
+        act = get_activation(self.act)  # default gelu == reference
         x = x.reshape(B, H, W, L, T * C)
 
         def axgrid(n, axis):

@@ -94,12 +94,14 @@ class _DoubleConv(nn.Module):
 
 
 def _maxpool(x, n_dim):
-    window = (1,) + (2,) * n_dim + (1,)
     return nn.max_pool(x, window_shape=(2,) * n_dim, strides=(2,) * n_dim)
 
 
 class UNet(nn.Module):
-    in_channels: int = 30  # already includes in_timesteps folding
+    # in_channels is informational (the forward infers shapes from x and
+    # folds time itself) but kept: callers construct UNet(in_channels=...)
+    # symmetrically with the other families
+    in_channels: int = 30
     out_channels: int = 1
     out_timesteps: int = 1
     width: int = 32
@@ -132,11 +134,9 @@ class UNet(nn.Module):
 
         # pad every spatial axis up to a multiple of 16 (unet.py:392,489-495)
         pads = [(0, 0)]
-        padded = []
         for n in spatial:
             p = int(np.ceil(n / 16) * 16 - n)
             pads.append((0, p))
-            padded.append(n + p)
         pads.append((0, 0))
         x = jnp.pad(x, pads)
 
@@ -158,9 +158,13 @@ class UNet(nn.Module):
         )
 
         def up(z, feats, name):
+            # torch ConvTranspose computes fan_in from weight.size(1)*k^n
+            # = OUT_channels*2^n for BOTH kernel and bias (the inferred
+            # flax fan would be k^n*in = 2x that -> sqrt(2)-narrower init)
             return nn.ConvTranspose(
                 feats, kernel_size=(2,) * n_dim, strides=(2,) * n_dim,
-                padding="VALID", kernel_init=torch_linear_weight(),
+                padding="VALID",
+                kernel_init=torch_linear_weight(fan_in=feats * 2**n_dim),
                 bias_init=torch_bias(feats * 2**n_dim), dtype=self.dtype,
                 name=name,
             )(z)

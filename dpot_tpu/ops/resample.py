@@ -68,7 +68,12 @@ def lrelu_regular(
         return jax.lax.reduce_window(
             xp, 0.0, jax.lax.add, (1, 4, 4, 1), (1, 4, 4, 1), "VALID"
         ) / 16.0
-    return resize_bilinear(x, (out_size, out_size), antialias=False)
+    # reference fallback is F.interpolate with NO mode -> 'nearest'
+    # (filter_networks.py:474): src = floor(dst * in/out), a pure gather
+    H, W = x.shape[1], x.shape[2]
+    ih = (jnp.arange(out_size) * (H / out_size)).astype(jnp.int32)
+    iw = (jnp.arange(out_size) * (W / out_size)).astype(jnp.int32)
+    return x[:, ih][:, :, iw]
 
 
 def low_pass_filter(x: jax.Array, K: int) -> jax.Array:

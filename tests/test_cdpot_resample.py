@@ -81,3 +81,43 @@ def test_cdpot_forward():
     assert y.shape == (2, 16, 16, 1, 2)
     assert cls.shape == (2, 3)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_lrelu_regular_golden_all_branches():
+    """LReLu_regular parity incl. the interpolation FALLBACK branch: the
+    reference's F.interpolate has NO mode -> 'nearest' (a bilinear
+    fallback silently diverged). Golden vs torch for /2 avg-pool, /4
+    padded avg-pool, and nearest resize (both up and down)."""
+    import torch
+    import torch.nn.functional as F
+
+    from dpot_tpu.ops.resample import lrelu_regular
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 12, 12, 3)).astype(np.float32)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+
+    def want(in_rate, out_rate, out_size):
+        a = F.leaky_relu(xt, 0.01)
+        if in_rate == 2 * out_rate:
+            o = torch.nn.AvgPool2d(2, stride=2, padding=0)(a)
+        elif in_rate == 4 * out_rate:
+            o = torch.nn.AvgPool2d(4, stride=4, padding=1)(a)
+        else:
+            o = F.interpolate(a, size=out_size)  # mode defaults to nearest
+        return o.permute(0, 2, 3, 1).numpy()
+
+    for in_rate, out_rate, out_size in (
+        (4, 2, 6),    # /2 avg-pool
+        (8, 2, 3),    # /4 padded avg-pool (count_include_pad)
+        (4, 4, 12),   # fallback, identity size
+        (4, 3, 9),    # fallback, downsample
+        (3, 4, 16),   # fallback, upsample
+    ):
+        got = np.asarray(
+            lrelu_regular(jnp.asarray(x), in_rate, out_rate, out_size)
+        )
+        np.testing.assert_allclose(
+            got, want(in_rate, out_rate, out_size), atol=1e-6,
+            err_msg=f"in_rate={in_rate} out_rate={out_rate}",
+        )
