@@ -29,7 +29,12 @@ from dpot_tpu.data.resize import resize_linear_nd
 
 def normalize_physics_props(case_params: Dict[str, float]) -> None:
     """In-place z-normalization of density/viscosity with the reference's
-    fixed corpus statistics (cfdbench/utils.py:8-19)."""
+    fixed corpus statistics (cfdbench/utils.py:8-19).
+
+    NOTE: the shipped converters write fields-only corpora (exactly what
+    the reference's preprocess emits), so case_params — and hence this
+    helper and normalize_bc — never affect the written data; they are
+    API-parity ports for consumers that DO read case_params."""
     case_params["density"] = (case_params["density"] - 5) / 4
     case_params["viscosity"] = (case_params["viscosity"] - 0.00238) / 0.005
 

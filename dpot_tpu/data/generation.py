@@ -50,10 +50,15 @@ def write_scatter(
     for i, traj in enumerate(trajectories):
         traj = np.asarray(traj, np.float32)
         if time_major:
-            assert traj.ndim >= 4, (
+            # (spatial..., T, C): >=1 spatial axes + T + C. The ndim
+            # check alone can NOT distinguish channel-less (X,Y,Z,T) from
+            # channeled (X,Y,T,C) — moveaxis(-2, 0) would silently move Z
+            # and tag the corpus t_major, making every windowed read
+            # garbage; callers must add the channel axis explicitly.
+            assert traj.ndim >= 3, (
                 "time_major requires channeled (spatial..., T, C) "
                 f"trajectories, got shape {traj.shape} — add a trailing "
-                "channel axis first"
+                "channel axis first (channel-less data is ambiguous here)"
             )
             traj = np.ascontiguousarray(np.moveaxis(traj, -2, 0))
         with h5py.File(os.path.join(out, f"data_{i}.hdf5"), "w") as f:
@@ -105,20 +110,32 @@ def stack_pdebench_ns2d(f) -> np.ndarray:
 
 
 def stack_pdebench_scalar(f, key: str = "data") -> np.ndarray:
-    """PDEBench SWE / diffusion-reaction: single (or stacked) scalar fields
-    stored as (B, T, X, Y[, C])."""
-    data = np.asarray(f[key], np.float32)
+    """PDEBench SWE / diffusion-reaction. The REAL raw corpora store one
+    group per sample ('0000/data'..'0999/data', each (T, X, Y[, C]) —
+    reference preprocess.py:136-141,170-175); a flat (B, T, X, Y[, C])
+    'data' dataset is also accepted."""
+    if key in f:
+        data = np.asarray(f[key], np.float32)
+    else:
+        n = len(f.keys())
+        data = np.stack(
+            [np.asarray(f[f"{i:04d}/{key}"], np.float32) for i in range(n)],
+            axis=0,
+        )
     if data.ndim == 4:
         data = data[..., None]
     return data.transpose(0, 2, 3, 1, 4)
 
 
 def stack_pdebench_ns3d(f) -> np.ndarray:
-    """PDEBench 3D NS: Vx,Vy,Vz,density,pressure (B,T,X,Y,Z) ->
-    (B,X,Y,Z,T,C)."""
+    """PDEBench 3D NS (B,T,X,Y,Z) -> (B,X,Y,Z,T,C). Channel order is
+    [Vx, Vy, Vz, PRESSURE, DENSITY] — the reference stacks pressure
+    before density for 3D (preprocess.py:233), opposite to its own 2D
+    order; converted corpora must match what the released weights were
+    trained on."""
     fields = [
         np.asarray(f[k], np.float32)
-        for k in ["Vx", "Vy", "Vz", "density", "pressure"]
+        for k in ["Vx", "Vy", "Vz", "pressure", "density"]
     ]
     data = np.stack(fields, axis=-1)  # B, T, X, Y, Z, C
     return data.transpose(0, 2, 3, 4, 1, 5)
@@ -159,11 +176,16 @@ def convert_pdebench(
     }[kind]
     with h5py.File(src_path, "r") as f:
         data = stacker(f)
-    train_ids, test_ids = split_train_test(data.shape[0])
     if n_train is not None:
-        train_ids = train_ids[:n_train]
-    if n_test is not None:
-        test_ids = test_ids[:n_test]
+        # reference semantics (preprocess.py:143,178): train = the FIRST
+        # n_train samples, test = the NEXT n_test — not a fixed 90/10
+        n_te = n_test if n_test is not None else data.shape[0] - n_train
+        train_ids = np.arange(n_train)
+        test_ids = np.arange(n_train, min(n_train + n_te, data.shape[0]))
+    else:
+        train_ids, test_ids = split_train_test(data.shape[0])
+        if n_test is not None:
+            test_ids = test_ids[:n_test]
     nt = write_scatter(dst_root, (data[i] for i in train_ids), "train",
                        time_major=time_major)
     nv = write_scatter(dst_root, (data[i] for i in test_ids), "test",

@@ -98,6 +98,13 @@ def bias_act(
             platform = "cpu"
         impl = "pallas" if platform == "tpu" and dim in (-1, x.ndim - 1) else "ref"
     if impl == "pallas":
+        if dim not in (-1, x.ndim - 1):
+            # the kernel is channels-last-only; an explicit impl='pallas'
+            # with another dim would silently add the bias along the
+            # WRONG axis (no exception -> the fallback never fires)
+            raise ValueError(
+                f"impl='pallas' supports only the last axis, got dim={dim}"
+            )
         from dpot_tpu.ops.pallas.bias_act_kernel import bias_act_pallas
 
         try:

@@ -185,40 +185,29 @@ def filtered_lrelu(
     gain: float = float(np.sqrt(2)),
     slope: float = 0.2,
     clamp: Optional[float] = None,
+    flip_filter: bool = False,
 ) -> jax.Array:
     """Fused upsample -> bias -> leaky-relu -> clamp -> downsample.
 
     Port of the reference composition path (torch_utils/ops/
-    filtered_lrelu.py:121-156 _filtered_lrelu_ref): upfirdn2d(up) ->
-    bias_act(lrelu, gain, clamp) -> upfirdn2d(down). XLA fuses the
-    elementwise middle into the convs; the CUDA sign-buffer trick is
+    filtered_lrelu.py:121-156 _filtered_lrelu_ref): upfirdn2d(up, with
+    the RAW user padding — no filter-centering offsets, unlike
+    upsample2d) -> bias_act(lrelu, gain, clamp) -> upfirdn2d(down, NO
+    padding). The caller supplies whatever padding centers its filters
+    (the reference's SynthesisLayer computes it explicitly). XLA fuses
+    the elementwise middle into the convs; the CUDA sign-buffer trick is
     unnecessary because JAX recomputes/saves activations as the AD
-    schedule decides."""
+    schedule decides. Golden vs an independent torch implementation of
+    _filtered_lrelu_ref in tests/test_native_ops.py."""
     from dpot_tpu.ops.bias_act import bias_act
 
     px0, px1, py0, py1 = _parse_padding(padding)
-    fu_w, fu_h = _get_filter_size(fu)
-    fd_w, fd_h = _get_filter_size(fd)
     if b is not None:
         x = x + b.reshape(1, 1, 1, -1)
     x = upfirdn2d(
-        x, fu, up=up,
-        padding=[
-            px0 + (fu_w + up - 1) // 2,
-            px1 + (fu_w - up) // 2,
-            py0 + (fu_h + up - 1) // 2,
-            py1 + (fu_h - up) // 2,
-        ],
-        gain=up**2,
+        x, fu, up=up, padding=[px0, px1, py0, py1], gain=up**2,
+        flip_filter=flip_filter,
     )
     x = bias_act(x, None, act="lrelu", alpha=slope, gain=gain, clamp=clamp)
-    x = upfirdn2d(
-        x, fd, down=down,
-        padding=[
-            (fd_w - down + 1) // 2,
-            (fd_w - down) // 2,
-            (fd_h - down + 1) // 2,
-            (fd_h - down) // 2,
-        ],
-    )
+    x = upfirdn2d(x, fd, down=down, flip_filter=flip_filter)
     return x

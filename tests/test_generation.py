@@ -62,3 +62,86 @@ def test_write_single_roundtrip(tmp_path):
     write_single(str(path), data)
     with h5py.File(path, "r") as f:
         np.testing.assert_array_equal(f["data"][:], data)
+
+
+def test_stack_pdebench_ns3d_channel_order(tmp_path):
+    """3D NS channel order is [Vx,Vy,Vz,PRESSURE,DENSITY] — the reference
+    stacks pressure before density for 3D (preprocess.py:233), opposite
+    to its own 2D order. A swapped corpus silently mis-trains/mis-evals
+    against reference-converted data."""
+    import h5py
+
+    from dpot_tpu.data.generation import stack_pdebench_ns3d
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "ns3d.h5"
+    fields = {
+        k: rng.standard_normal((2, 3, 4, 4, 4)).astype(np.float32)
+        for k in ("Vx", "Vy", "Vz", "density", "pressure")
+    }
+    with h5py.File(path, "w") as f:
+        for k, v in fields.items():
+            f[k] = v
+    with h5py.File(path, "r") as f:
+        data = stack_pdebench_ns3d(f)
+    assert data.shape == (2, 4, 4, 4, 3, 5)
+    np.testing.assert_array_equal(
+        data[..., 3], fields["pressure"].transpose(0, 2, 3, 4, 1)
+    )
+    np.testing.assert_array_equal(
+        data[..., 4], fields["density"].transpose(0, 2, 3, 4, 1)
+    )
+
+
+def test_stack_pdebench_scalar_group_layout(tmp_path):
+    """Real SWE/DR raw corpora store one group per sample
+    ('0000/data'...) — the stacker must read that layout (reference
+    preprocess.py:136-141), and convert_pdebench must use the reference's
+    arange split (train = first n_train, test = the NEXT n_test)."""
+    import h5py
+
+    from dpot_tpu.data.generation import convert_pdebench
+
+    rng = np.random.default_rng(1)
+    path = tmp_path / "swe.h5"
+    samples = rng.standard_normal((6, 3, 4, 4)).astype(np.float32)
+    with h5py.File(path, "w") as f:
+        for i in range(6):
+            f[f"{i:04d}/data"] = samples[i]
+    nt, nv = convert_pdebench(
+        str(path), str(tmp_path / "out"), kind="swe", n_train=4, n_test=2
+    )
+    assert (nt, nv) == (4, 2)
+    with h5py.File(tmp_path / "out" / "train" / "data_0.hdf5") as f:
+        np.testing.assert_array_equal(
+            f["data"][:], samples[0].transpose(1, 2, 0)[..., None]
+        )
+    # test split starts at sample n_train (arange semantics), not at 90%
+    with h5py.File(tmp_path / "out" / "test" / "data_0.hdf5") as f:
+        np.testing.assert_array_equal(
+            f["data"][:], samples[4].transpose(1, 2, 0)[..., None]
+        )
+
+
+def test_write_scatter_time_major_1d_and_channelless_guard(tmp_path):
+    """Channeled 1D (X,T,C) trajectories ARE valid time-major corpora;
+    channel-less data is ambiguous (moveaxis would silently move a
+    spatial axis) and must be rejected."""
+    import pytest
+
+    from dpot_tpu.data.generation import write_scatter
+
+    traj = np.zeros((8, 5, 2), np.float32)  # (X, T, C)
+    n = write_scatter(str(tmp_path / "d1"), [traj], "train", time_major=True)
+    assert n == 1
+    import h5py
+
+    with h5py.File(tmp_path / "d1" / "train" / "data_0.hdf5") as f:
+        assert f["data"].shape == (5, 8, 2)  # (T, X, C)
+        assert f["data"].attrs["layout"] == "t_major"
+
+    with pytest.raises(AssertionError, match="channel"):
+        write_scatter(
+            str(tmp_path / "d2"), [np.zeros((8, 5), np.float32)], "train",
+            time_major=True,
+        )

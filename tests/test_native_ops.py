@@ -137,16 +137,48 @@ def test_setup_filter_and_wrappers():
     np.testing.assert_allclose(np.asarray(up[0, 4:12, 4:12, 0]), 1.0, atol=1e-4)
 
 
-def test_filtered_lrelu_matches_composition():
+def torch_filtered_lrelu_ref(x, fu, fd, b, up, down, padding, gain, slope,
+                             clamp):
+    """Independent torch/numpy implementation of the reference
+    _filtered_lrelu_ref (filtered_lrelu.py:121-156): bias -> upfirdn2d
+    with the RAW user padding -> lrelu(gain, clamp) -> upfirdn2d(down)
+    with NO padding. Channels-last numpy in/out (torch_upfirdn2d_ref's
+    convention)."""
+    if b is not None:
+        x = x + b.reshape(1, 1, 1, -1)
+    x = torch_upfirdn2d_ref(x, fu, up, 1, list(padding), gain=up**2)
+    x = torch.nn.functional.leaky_relu(torch.from_numpy(x), slope) * gain
+    if clamp is not None:
+        x = x.clamp(-clamp, clamp)
+    return torch_upfirdn2d_ref(x.numpy(), fd, 1, down, [0, 0, 0, 0])
+
+
+def test_filtered_lrelu_golden_vs_reference():
+    """Golden vs an independent torch port of _filtered_lrelu_ref — incl.
+    the shape contract (out = (in*up + px - (fu-1) - (fd-1) + down-1) //
+    down): the raw user padding goes to the UP pass only; the down pass
+    gets none (a centering-offset port diverged here silently)."""
     rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
-    b = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    xn = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+    bn = rng.standard_normal(4).astype(np.float32)
     fu = setup_filter([1, 3, 3, 1])
     fd = setup_filter([1, 3, 3, 1])
-    y = filtered_lrelu(x, fu, fd, b, up=2, down=2, slope=0.2, clamp=None)
-    assert y.shape == (1, 8, 8, 4)
-    assert np.isfinite(np.asarray(y)).all()
+    for up, down, pad in ((2, 2, (2, 1, 2, 1)), (1, 1, (1, 1, 1, 1)),
+                          (2, 1, (3, 3, 3, 3))):
+        y = filtered_lrelu(
+            jnp.asarray(xn), fu, fd, jnp.asarray(bn), up=up, down=down,
+            padding=pad, slope=0.2, clamp=0.5,
+        )
+        want = torch_filtered_lrelu_ref(
+            xn, np.asarray(fu), np.asarray(fd), bn, up, down, pad,
+            float(np.sqrt(2)), 0.2, 0.5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(y), want, atol=1e-5,
+            err_msg=f"up={up} down={down} pad={pad}",
+        )
     # identity filters, no resampling == bias_act lrelu
-    y2 = filtered_lrelu(x, None, None, b, up=1, down=1, slope=0.2)
-    want = bias_act(x, b, act="lrelu", alpha=0.2)
+    y2 = filtered_lrelu(jnp.asarray(xn), None, None, jnp.asarray(bn),
+                        up=1, down=1, slope=0.2)
+    want = bias_act(jnp.asarray(xn), jnp.asarray(bn), act="lrelu", alpha=0.2)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(want), atol=1e-5)
