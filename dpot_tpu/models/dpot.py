@@ -483,7 +483,13 @@ class DPOTNet(nn.Module):
         )(x)  # (B, h, w, D)
 
         if self.normalize:
-            x = scale_sigma * x + scale_mu  # AdaIN
+            # cast the (f32 Dense-output) AdaIN scales to the compute dtype —
+            # otherwise this promotes the residual stream to f32 for ALL
+            # trunk blocks under bf16, doubling its HBM traffic
+            x = (
+                scale_sigma.astype(self.dtype) * x
+                + scale_mu.astype(self.dtype)
+            )  # AdaIN
 
         block_kwargs = dict(
             width=self.embed_dim,

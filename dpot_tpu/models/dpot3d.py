@@ -188,11 +188,15 @@ class UnpatchConv3D(nn.Module):
     def __call__(self, x):  # (B, h, w, l, D)
         p = self.patch_size
         B, h, w, l, D = x.shape
+        # torch ConvTranspose3d fan_in = weight.size(1)*k^3 = OUT*p^3 for
+        # both kernel and bias (same quirk as the 2D UnpatchConv)
         kernel = self.param(
-            "kernel", torch_linear_weight(fan_in=D * p**3),
+            "kernel", torch_linear_weight(fan_in=self.features * p**3),
             (p, p, p, D, self.features),
         )
-        bias = self.param("bias", torch_bias(D), (self.features,))
+        bias = self.param(
+            "bias", torch_bias(self.features * p**3), (self.features,)
+        )
         k = (
             jnp.transpose(kernel, (3, 0, 1, 2, 4))
             .reshape(D, p**3 * self.features)
@@ -291,7 +295,10 @@ class DPOTNet3D(nn.Module):
         )(x)  # (B, h, h, h, D)
 
         if self.normalize:
-            x = scale_sigma * x + scale_mu
+            x = (
+                scale_sigma.astype(self.dtype) * x
+                + scale_mu.astype(self.dtype)
+            )  # AdaIN (cast: keep the residual stream in compute dtype)
 
         block = Block3D
         if self.remat:

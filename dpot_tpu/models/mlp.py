@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,11 +72,15 @@ class FourierMLP(nn.Module):
             theta = jnp.zeros((x.shape[0], self.theta_dim), x.dtype)
         if self.fourier_dim > 0:
             if self.feature_type == "gaussian":
+                # drawn from the INIT rng (reference: sigma*torch.randn
+                # per module) — a hardcoded seed would give every
+                # FourierMLP instance/seeded run the identical features
                 B = self.variable(
                     "constants", "B",
-                    lambda: self.sigma * np.random.default_rng(0).standard_normal(
-                        (self.space_dim, self.fourier_dim)
-                    ).astype(np.float32),
+                    lambda: self.sigma * jax.random.normal(
+                        self.make_rng("params"),
+                        (self.space_dim, self.fourier_dim), jnp.float32,
+                    ),
                 ).value
                 feats = 2 * jnp.pi * x @ jnp.asarray(B)
             elif self.feature_type == "exp":

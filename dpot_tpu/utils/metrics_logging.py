@@ -9,6 +9,7 @@ are directly comparable.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Optional
@@ -33,14 +34,17 @@ class MetricWriter:
                     self._tb = None
 
     def scalar(self, tag: str, value: float, step: int):
+        v = float(value)
         if self._jsonl:
-            self._jsonl.write(
-                json.dumps(
-                    {"t": time.time(), "tag": tag, "value": float(value),
-                     "step": int(step)}
-                )
-                + "\n"
-            )
+            # strict JSON: NaN/Inf would serialize as bare NaN/Infinity
+            # tokens, breaking every non-Python consumer of the whole
+            # file exactly when a diverging run needs its curve read
+            rec = {"t": time.time(), "tag": tag,
+                   "value": v if math.isfinite(v) else None,
+                   "step": int(step)}
+            if not math.isfinite(v):
+                rec["nonfinite"] = repr(v)
+            self._jsonl.write(json.dumps(rec) + "\n")
         if self._tb:
             self._tb.add_scalar(tag, float(value), int(step))
 

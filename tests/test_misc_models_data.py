@@ -138,3 +138,57 @@ def test_mlp_forward_parity_vs_reference():
     )
     jy = jmodel.apply(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(jy), ty.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_fourier_mlp_forward_parity_vs_reference():
+    """FourierMLP forward parity vs the ACTUAL reference model
+    (models/mlp.py:74-132) — gaussian and exp feature types; B and both
+    sub-MLPs copied from the torch module (the sin/cos 2pi factors,
+    concat order, and logspace frequencies are numerics that deserve a
+    golden, per CLAUDE.md)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from models.mlp import FourierMLP as RefFourierMLP
+
+    from dpot_tpu.train.interop import mlp_params_from_torch
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((5, 2)).astype(np.float32)
+    theta = rng.standard_normal((5, 1)).astype(np.float32)
+
+    for ftype in ("gaussian", "exp"):
+        torch.manual_seed(0)
+        ref = RefFourierMLP(
+            space_dim=2, theta_dim=1, output_size=3, n_layers=2,
+            n_hidden=16, fourier_dim=8, type=ftype, sigma=1.5,
+        ).eval()
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x), torch.from_numpy(theta)).numpy()
+
+        model = FourierMLP(
+            space_dim=2, theta_dim=1, output_size=3, n_layers=2,
+            n_hidden=16, fourier_dim=8, feature_type=ftype, sigma=1.5,
+        )
+        variables = model.init(
+            jax.random.key(0), jnp.asarray(x), jnp.asarray(theta)
+        )
+        params = {
+            "params": {
+                "theta_mlp": mlp_params_from_torch(
+                    ref.theta_mlp.state_dict(), 3
+                )["params"],
+                "mlp": mlp_params_from_torch(ref.mlp.state_dict(), 2)["params"],
+            }
+        }
+        if ftype == "gaussian":
+            params["constants"] = {"B": ref.B.detach().numpy()}
+        elif "constants" in variables:
+            params["constants"] = variables["constants"]
+        got = np.asarray(
+            model.apply(params, jnp.asarray(x), jnp.asarray(theta))
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5,
+                                   err_msg=ftype)
