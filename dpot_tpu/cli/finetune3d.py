@@ -77,7 +77,13 @@ def main(argv=None):
             )
 
             sd = load_torch_checkpoint(cfg.resume_path)
-            p2d = dpot_params_from_torch(sd, depth=cfg.n_layers)
+            # same conversion args as cli/finetune.py: a normalized
+            # pretrain's scale_feats must convert, and the latent size
+            # comes from the 2D pretrain's operating point
+            p2d = dpot_params_from_torch(
+                sd, depth=cfg.n_layers, normalize=cfg.normalize,
+                latent_size=(128 // cfg.patch_size, 128 // cfg.patch_size),
+            )
         else:
             # The restore template only needs the SOURCE model's tree
             # structure (depth/normalize decide module names; leaf values
@@ -88,7 +94,6 @@ def main(argv=None):
             import json
             import os
 
-            from dpot_tpu.models import build_model as bm
             from dpot_tpu.train.checkpoint import restore_params
 
             src = {}
@@ -99,7 +104,7 @@ def main(argv=None):
             res2d = int(src.get("res", 128))
             c2d = int(src.get("n_channels", 4))
             tin2d = int(src.get("T_in", cfg.T_in))
-            model2d = bm(
+            model2d = build_model(
                 "DPOT", img_size=res2d,
                 patch_size=int(src.get("patch_size", cfg.patch_size)),
                 in_channels=c2d, in_timesteps=tin2d,
@@ -142,13 +147,25 @@ def main(argv=None):
     for ep in range(cfg.epochs):
         t0 = time.perf_counter()
         tr = 0.0
+        steps_per_sample = 1.0
+        pending = None
         for x, y, msk, cls in train_dl:
             batch = shard_batch(
                 {"x": x, "y": y, "msk": msk, "cls": np.zeros(x.shape[0], np.int32)},
                 mesh,
             )
             state, aux = step(state, batch)
-            tr += fetch(aux["loss_step"])
+            # loss_step sums over the T_ar//T_bundle rollout steps; the
+            # printed per-step L2 must divide by it (train/loop.py does —
+            # otherwise 3D curves read ~T_ar x worse than 2D ones)
+            steps_per_sample = max(y.shape[-2] // cfg.T_bundle, 1)
+            # one-step-lagged fetch (train/loop.py 'pending'): don't
+            # serialize host<->device every step
+            if pending is not None:
+                tr += fetch(pending)
+            pending = aux["loss_step"]
+        if pending is not None:
+            tr += fetch(pending)
         te = 0.0
         for x, y, msk, _ in test_dl:
             out = roll(apply3d, state.params,
@@ -156,7 +173,8 @@ def main(argv=None):
             te += fetch(out["loss_full"])
         print(
             f"epoch {ep}, time {time.perf_counter()-t0:.3f}, "
-            f"train l2 {tr/len(train_ds):.5f} test l2 full {te/len(test_ds):.5f}"
+            f"train l2 step {tr/len(train_ds)/steps_per_sample:.5f} "
+            f"test l2 full {te/len(test_ds):.5f}"
         )
         if cfg.use_writer and cfg.log_path:
             save_checkpoint(cfg.log_path, state, config=vars(cfg))

@@ -177,7 +177,8 @@ class Block(nn.Module):
 
         B, H, W, C = x.shape
         return fused_gn_afno_supported(
-            H * W, C, self.num_blocks, B, groups=self.norm_groups
+            H * W, C, self.num_blocks, B, groups=self.norm_groups,
+            K=min(self.modes, H) * min(self.modes, W // 2 + 1),
         )
 
     @nn.compact

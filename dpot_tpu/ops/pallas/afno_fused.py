@@ -77,13 +77,27 @@ def _kernel(x_ref, gs_ref, gb_ref, A_ref, Ai_ref, W1_ref, B1_ref, W2_ref,
 
 def fused_gn_afno_supported(
     HW: int, C: int, nb: int, batch: int, hidden_size_factor: int = 1,
-    groups: int = 8,
+    groups: int = 8, K: int | None = None,
+    vmem_budget: int = 12 * 2**20,
 ) -> bool:
     """Shapes the kernel handles efficiently: combined-operator latents,
     MXU-aligned block channels, an even batch for the 2-sample tile, a
-    square mode MLP (the kernel's blocks assume hidden == 2*bs), and a
-    group count that tiles the channel axis."""
+    square mode MLP (the kernel's blocks assume hidden == 2*bs), a group
+    count that tiles the channel axis, AND a VMEM footprint under budget
+    — a qualifying-by-alignment 512^2/patch-8 shape (HW=4096, K=1024)
+    puts ~16 MB PER DFT operator in VMEM and would fail at Mosaic
+    compile time instead of gracefully using the XLA path. K = kept
+    spectral modes kh*kw (None = assume the worst case for this HW)."""
     bs = C // nb
+    k_modes = K if K is not None else min(1024, HW)
+    # resident per grid step: A (2K, HW) + Ainv (HW, 2K) bf16, the
+    # double-buffered (2, HW, C) x/out tiles bf16, and the (2K, C) f32
+    # spectral scratch
+    vmem_bytes = (
+        2 * (2 * k_modes * HW * 2)
+        + 4 * (HW * C * 2)
+        + (2 * k_modes * C * 4)
+    )
     return (
         HW <= 4096
         and C % nb == 0
@@ -92,6 +106,7 @@ def fused_gn_afno_supported(
         and hidden_size_factor == 1
         and groups > 0
         and C % groups == 0
+        and vmem_bytes <= vmem_budget
     )
 
 

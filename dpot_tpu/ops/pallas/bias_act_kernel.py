@@ -52,16 +52,25 @@ def bias_act_pallas(
     """Channels-last fused kernel: x (..., C), b (C,) or None."""
     _, alpha_v, gain_v, clamp_v = _resolve(act, alpha, gain, clamp)
     C = x.shape[-1]
+    # dtype contract matches bias_act_ref (the impl='auto' fallback AND
+    # this op's own VJP recompute): promote to result_type(x, b) — a
+    # silent bf16 downcast here would make results platform-dependent
+    # and the backward differentiate a differently-rounded forward
+    out_dtype = (
+        jnp.result_type(x.dtype, b.dtype) if b is not None else x.dtype
+    )
     bb = b if b is not None else jnp.zeros((C,), x.dtype)
     orig_shape = x.shape
-    x2 = x.reshape(-1, C)
+    x2 = x.reshape(-1, C).astype(out_dtype)
     N = x2.shape[0]
+    if N == 0:  # empty input: tile would be 0 -> cdiv division by zero
+        return x.astype(out_dtype)
     tile = min(_ROW_TILE, N)
     grid = (pl.cdiv(N, tile),)
 
     out = pl.pallas_call(
         partial(_kernel, act=act, alpha=alpha_v, gain=gain_v, clamp=clamp_v),
-        out_shape=jax.ShapeDtypeStruct((N, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, C), out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -69,7 +78,7 @@ def bias_act_pallas(
         ],
         out_specs=pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(x2, bb.reshape(1, C).astype(x.dtype))
+    )(x2, bb.reshape(1, C).astype(out_dtype))
     return out.reshape(orig_shape)
 
 
