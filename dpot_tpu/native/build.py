@@ -15,7 +15,6 @@ import fcntl
 import hashlib
 import os
 import subprocess
-import sysconfig
 from pathlib import Path
 from typing import Optional
 
@@ -34,10 +33,23 @@ def _cache_dir() -> Path:
     return d
 
 
+_GXX_FLAGS = [
+    "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread",
+]
+
+
 def _digest() -> str:
+    import platform
+
     h = hashlib.sha256()
     for src in _SOURCES:
         h.update(src.read_bytes())
+    # flags and machine are part of the key: a -march=native .so built on
+    # one host SIGILLs on an older one (CDLL load still succeeds, so the
+    # loader's try/except would not catch it), and flag edits must not
+    # silently reuse a stale library
+    h.update(" ".join(_GXX_FLAGS).encode())
+    h.update(platform.machine().encode())
     h.update(b"v1")
     return h.hexdigest()[:16]
 
@@ -53,15 +65,20 @@ def build_library(verbose: bool = False) -> Path:
         if so.exists():
             return so
         tmp = so.with_suffix(".so.tmp")
-        cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            "-pthread",
-            *[str(s) for s in _SOURCES],
-            "-o", str(tmp),
-        ]
+        cmd = ["g++", *_GXX_FLAGS, *[str(s) for s in _SOURCES], "-o", str(tmp)]
         if verbose:
             print(" ".join(cmd))
-        subprocess.run(cmd, check=True, capture_output=not verbose)
+        try:
+            subprocess.run(cmd, check=True, capture_output=not verbose,
+                           text=True)
+        except subprocess.CalledProcessError as e:
+            # surface the compiler error — a silent fallback to the numpy
+            # path is a ~10-20x ingest slowdown with zero diagnostics
+            print(
+                "dpot_tpu native build FAILED (falling back to numpy "
+                f"preprocessing):\n{e.stderr or e}", flush=True,
+            )
+            raise
         os.replace(tmp, so)
     return so
 

@@ -23,6 +23,10 @@ def _ptr(a: np.ndarray):
 
 def resize_bilinear_2d(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     """(H, W, ...trailing) -> (oh, ow, ...trailing)."""
+    if tuple(x.shape[:2]) == tuple(out_hw):
+        # identity resize: skip the bilinear pass (same short-circuit as
+        # the sibling wrappers; ingest hot path)
+        return np.ascontiguousarray(x, np.float32)
     lib = get_library()
     H, W = x.shape[:2]
     trail = x.shape[2:]
@@ -42,6 +46,14 @@ def resize_bilinear_2d(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
 def pad_data_2d(x: np.ndarray, res: int, c_max: int) -> np.ndarray:
     """(H, W, T, C) -> (res, res, T, c_max), ONES channel padding."""
     H, W, T, C = x.shape
+    if C > c_max:
+        # the native kernel writes op[t*c_max + c] for c in [0, C) — with
+        # C > c_max that is OUT OF BOUNDS (heap corruption); the numpy
+        # path would raise a shape error. Fail identically on both.
+        raise ValueError(
+            f"sample has {C} channels > c_max={c_max}; channel TRUNCATION "
+            "is not a supported conversion (slice the corpus instead)"
+        )
     if (H, W) == (res, res):
         # identity resize: skip the whole bilinear pass (the common case —
         # pretraining reads 128^2 corpora at res=128; ingest hot path)

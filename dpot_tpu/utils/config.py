@@ -224,6 +224,12 @@ def load_config(
     scheme but in one step. --config_from_ckpt true makes --resume_path's
     saved architecture the base config (eval/serve no longer have to
     re-type —width/--act... and can't mis-type them)."""
+    # every CLI funnels through here — wire the opt-in persistent XLA
+    # compilation cache at this shared entry so evaluate/finetune/serve/
+    # sweep get it too, not just train (DPOT_COMPILE_CACHE=<dir>)
+    from dpot_tpu.utils.profiling import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
     p = _parser_for(cls)
     ns = p.parse_args(argv)
     base: dict[str, Any] = {}

@@ -58,9 +58,15 @@ def check_replica_consistency(tree: Any, atol: float = 0.0) -> None:
             continue
         base = np.asarray(shards[0].data)
         for s in shards[1:]:
-            if s.data.shape != base.shape:
-                continue  # actually sharded, not replicated
-            if not np.allclose(np.asarray(s.data), base, atol=atol):
+            if s.index != shards[0].index:
+                # actually sharded (different global slices hold different
+                # values by design) — shard SHAPES can match even when
+                # sharded evenly, so compare indices, not shapes
+                continue
+            # atol=0.0 means EXACT (the reference check_ddp_consistency
+            # compares bit patterns); rtol must be 0 or np.allclose's
+            # default 1e-5 would mask real replica desyncs
+            if not np.allclose(np.asarray(s.data), base, rtol=0.0, atol=atol):
                 name = "/".join(str(getattr(k, "key", k)) for k in path)
                 raise AssertionError(f"replica mismatch at {name}")
 

@@ -88,7 +88,11 @@ def timing(fn):
     def wrapped(*args, **kwargs):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        # fence by FETCHING a value — block_until_ready does not reliably
+        # fence on the tunneled TPU backend (this module's own fence())
+        leaves = [a for a in jax.tree.leaves(out) if hasattr(a, "ndim")]
+        if leaves:
+            fence(leaves[0])
         print(f"{fn.__name__} took {time.perf_counter() - t0:.6f}s")
         return out
 

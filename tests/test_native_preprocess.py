@@ -74,3 +74,18 @@ def test_native_faster_than_numpy():
     t_numpy = timeit(np_path)
     # native identity-resize path should not be slower than 2x numpy
     assert t_native < max(t_numpy * 2, 5e-3), (t_native, t_numpy)
+
+
+def test_pad_data_2d_rejects_channel_truncation():
+    """C > c_max must fail loudly on BOTH paths — the native kernel would
+    write out of bounds (op[t*c_max + c] for c in [0,C)), the numpy path
+    a shape error; neither silent corruption nor divergent behavior."""
+    import pytest
+
+    from dpot_tpu.native.preprocess import pad_data_2d
+
+    x = np.zeros((8, 8, 3, 5), np.float32)
+    with pytest.raises(ValueError, match="channels"):
+        pad_data_2d(x, 16, 4)  # resize path
+    with pytest.raises(ValueError, match="channels"):
+        pad_data_2d(x, 8, 4)  # identity path

@@ -85,3 +85,22 @@ def test_dataset_normalize_path():
     assert np.isfinite(x).all()
     # normalized inputs should be roughly centered
     assert abs(float(x[..., 0].mean())) < 1.0
+
+
+def test_replica_consistency_tolerates_even_sharding():
+    """An evenly-SHARDED array has same-shape shards with different
+    contents by design — the check must compare shard INDICES, not
+    shapes, or FSDP states raise false 'replica mismatch'."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dpot_tpu.parallel.mesh import make_mesh
+    from dpot_tpu.utils.inspection import check_replica_consistency
+
+    mesh = make_mesh(data=8, spatial=1)
+    x = jnp.arange(8 * 16, dtype=jnp.float32).reshape(8, 16)
+    sharded = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    check_replica_consistency({"w": sharded})  # must NOT raise
+
+    replicated = jax.device_put(x, NamedSharding(mesh, P()))
+    check_replica_consistency({"w": replicated})
