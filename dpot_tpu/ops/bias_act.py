@@ -9,8 +9,9 @@ Two implementations:
   reference's hand-written 1st/2nd-order CUDA gradients, which JAX derives
   automatically),
 - 'pallas': a single fused VPU kernel (dpot_tpu/ops/pallas/bias_act_kernel
-  .py) for the inference hot path; wrapped in custom_vjp with the ref
-  gradient so it trains too.
+  .py) for the inference hot path; wrapped in custom_jvp with the ref
+  tangent rule, so it differentiates to any order (matching the
+  reference CUDA op's explicit 1st/2nd-order gradient support).
 """
 
 from __future__ import annotations
@@ -108,7 +109,7 @@ def bias_act(
         from dpot_tpu.ops.pallas.bias_act_kernel import bias_act_pallas
 
         try:
-            return bias_act_pallas(x, b, act=act, alpha=alpha, gain=gain, clamp=clamp)
+            return bias_act_pallas(x, b, act, alpha, gain, clamp)
         except Exception:
             pass  # fall through to ref on unsupported shapes/platforms
     return bias_act_ref(x, b, dim=dim, act=act, alpha=alpha, gain=gain, clamp=clamp)

@@ -3,8 +3,11 @@
 TPU-native counterpart of the reference's bias_act CUDA kernel
 (torch_utils/ops/bias_act.cu: choose_bias_act_kernel :24,152-167). One pass
 over the tensor in VMEM tiles: add per-channel bias, apply activation,
-scale, clamp. Gradients via custom_vjp against the composed reference path
-(JAX re-derives the 1st/2nd-order grads the reference hand-writes).
+scale, clamp. Gradients via custom_jvp whose tangent rule composes through
+the reference path: reverse mode falls out of linearize+transpose, and the
+rule is differentiable to ANY order — matching the 1st/2nd-order gradient
+capability the reference hand-writes in CUDA (bias_act.py:72-229,
+bias_act.cu:152-167) without hand-written kernels for the derivatives.
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ def _kernel(x_ref, b_ref, o_ref, *, act, alpha, gain, clamp):
     o_ref[:] = x
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5))
 def bias_act_pallas(
     x: jax.Array,
     b: Optional[jax.Array],
@@ -82,24 +85,24 @@ def bias_act_pallas(
     return out.reshape(orig_shape)
 
 
-def _fwd(x, b, act, alpha, gain, clamp):
-    return bias_act_pallas(x, b, act, alpha, gain, clamp), (x, b)
+@bias_act_pallas.defjvp
+def _jvp(act, alpha, gain, clamp, primals, tangents):
+    """Primal through the fused kernel; tangent through the composed
+    reference path (identical math, so the pair is consistent). The rule
+    itself is smooth jnp code, so JAX can differentiate it again —
+    grad-of-grad and jvp-of-vjp both work (test_native_ops.py)."""
+    x, b = primals
+    tx, tb = tangents
+    y = bias_act_pallas(x, b, act, alpha, gain, clamp)
 
-
-def _bwd(act, alpha, gain, clamp, res, g):
-    x, b = res
-
-    def f(x_, b_):
-        return bias_act_ref(x_, b_, dim=-1, act=act, alpha=alpha, gain=gain,
-                            clamp=clamp)
+    def f(*args):
+        return bias_act_ref(
+            args[0], args[1] if len(args) > 1 else None,
+            dim=-1, act=act, alpha=alpha, gain=gain, clamp=clamp,
+        )
 
     if b is None:
-        _, vjp = jax.vjp(lambda x_: f(x_, None), x)
-        (dx,) = vjp(g)
-        return dx, None
-    _, vjp = jax.vjp(f, x, b)
-    dx, db = vjp(g)
-    return dx, db
-
-
-bias_act_pallas.defvjp(_fwd, _bwd)
+        _, ty = jax.jvp(f, (x,), (tx,))
+    else:
+        _, ty = jax.jvp(f, (x, b), (tx, tb))
+    return y, ty.astype(y.dtype)

@@ -61,10 +61,81 @@ def test_bias_act_pallas_matches_ref_interpret():
         want = bias_act_ref(x, b, act="lrelu", clamp=1.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
-        # gradient path (custom_vjp with ref backward)
+        # gradient path (custom_jvp tangent rule via the ref path)
         g = jax.grad(lambda x_: jnp.sum(bias_act_pallas(x_, b, "lrelu", None, None, 1.0)))(x)
         gref = jax.grad(lambda x_: jnp.sum(bias_act_ref(x_, b, act="lrelu", clamp=1.0)))(x)
         np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=1e-5)
+    finally:
+        os.environ.pop("DPOT_PALLAS_INTERPRET", None)
+
+
+def test_bias_act_second_order_golden_vs_torch():
+    """2nd-order gradients through BOTH impls — the capability the
+    reference CUDA op hand-writes (torch_utils/ops/bias_act.py:72-229,
+    bias_act.cu:152-167). HVP of sum(swish(x+b))^2-style scalar vs torch
+    double-backward; the Pallas path (interpret mode) must agree because
+    its custom_jvp rule is itself differentiable."""
+    os.environ["DPOT_PALLAS_INTERPRET"] = "1"
+    try:
+        from dpot_tpu.ops.pallas.bias_act_kernel import bias_act_pallas
+
+        rng = np.random.default_rng(7)
+        xn = rng.standard_normal((8, 128)).astype(np.float32)
+        bn = rng.standard_normal(128).astype(np.float32)
+        vn = rng.standard_normal((8, 128)).astype(np.float32)
+        x, b, v = jnp.asarray(xn), jnp.asarray(bn), jnp.asarray(vn)
+
+        def scalar_ref(x_):
+            return jnp.sum(bias_act_ref(x_, b, act="swish", clamp=2.0) ** 2)
+
+        def scalar_pal(x_):
+            return jnp.sum(bias_act_pallas(x_, b, "swish", None, None, 2.0) ** 2)
+
+        def hvp(f, x_, v_):
+            return jax.grad(lambda z: jnp.vdot(jax.grad(f)(z), v_))(x_)
+
+        h_ref = np.asarray(hvp(scalar_ref, x, v))
+        h_pal = np.asarray(hvp(scalar_pal, x, v))
+        # also forward-over-reverse (the jvp-of-vjp composition custom_vjp
+        # could not support at all)
+        h_for = np.asarray(jax.jvp(jax.grad(scalar_pal), (x,), (v,))[1])
+
+        xt = torch.from_numpy(xn).requires_grad_(True)
+        vt = torch.from_numpy(vn)
+        gain = float(np.sqrt(2))
+        yt = torch.clamp(
+            torch.nn.functional.silu(xt + torch.from_numpy(bn)) * gain,
+            -2.0, 2.0,
+        )
+        st = (yt**2).sum()
+        (gt,) = torch.autograd.grad(st, xt, create_graph=True)
+        (ht,) = torch.autograd.grad((gt * vt).sum(), xt)
+        want = ht.detach().numpy()
+
+        np.testing.assert_allclose(h_ref, want, atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(h_pal, want, atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(h_for, want, atol=1e-4, rtol=1e-4)
+
+        # grad wrt the BIAS at second order too (db d(dx) cross term)
+        def scalar_b_pal(b_):
+            return jnp.sum(bias_act_pallas(x, b_, "swish", None, None, 2.0) ** 2)
+
+        hb_pal = np.asarray(
+            jax.grad(lambda z: jnp.vdot(jax.grad(scalar_b_pal)(z),
+                                        jnp.asarray(vn[0])))(b)
+        )
+        bt = torch.from_numpy(bn).requires_grad_(True)
+        yt2 = torch.clamp(
+            torch.nn.functional.silu(torch.from_numpy(xn) + bt) * gain,
+            -2.0, 2.0,
+        )
+        (gbt,) = torch.autograd.grad((yt2**2).sum(), bt, create_graph=True)
+        (hbt,) = torch.autograd.grad(
+            (gbt * torch.from_numpy(vn[0])).sum(), bt
+        )
+        np.testing.assert_allclose(
+            hb_pal, hbt.detach().numpy(), atol=1e-4, rtol=1e-4
+        )
     finally:
         os.environ.pop("DPOT_PALLAS_INTERPRET", None)
 
