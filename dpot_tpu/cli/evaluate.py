@@ -110,6 +110,7 @@ def main(argv=None):
             t_bundle=cfg.T_bundle, batch_size=cfg.batch_size,
             n_channels=n_channels, num_workers=cfg.num_workers,
             full_metrics=full_metrics, pred_only=pred_only,
+            viz_dir=cfg.viz_dir or None,
         )
         for p in cfg.test_paths:
             print(f"{p}: {results[p]['loss_full']:.5f}")

@@ -41,8 +41,13 @@ def evaluate(
     num_workers: int = 8,
     full_metrics: bool = False,
     pred_only: bool = False,
+    viz_dir: str | None = None,
 ) -> dict:
     """Full-rollout eval; returns per-dataset losses + avg step time.
+
+    viz_dir: when set, each dataset's first evaluated sample is rendered
+    there (rollout comparison PNG + GIF; mid-plane + volume for 3D —
+    utils/viz.save_eval_viz).
 
     full_metrics=True additionally computes the reference's Evaluator
     battery (nMAE/nMSE/nMXE + boundary RMSE + spectral-band MSE,
@@ -116,6 +121,14 @@ def evaluate(
                 seen_shapes.add(shape_key)
             s_sum += _fetch(out["loss_step"])
             f_sum += f_val
+            if viz_dir and n_batches == 0:
+                from dpot_tpu.utils.viz import save_eval_viz
+
+                save_eval_viz(
+                    np.asarray(out["pred"][0] * batch["msk"][0]),
+                    np.asarray(y[0] * np.asarray(msk[0])),
+                    viz_dir, path,
+                )
             n_batches += 1
             if full_metrics:
                 pred = out["pred"] * batch["msk"]

@@ -126,6 +126,9 @@ class TrainConfig:
     comment: str = ""
     log_path: str = ""
     use_writer: bool = False
+    # evaluate CLI: render each dataset's first sample (rollout PNG+GIF,
+    # 3D volume) into this directory (utils/viz.py; "" = off)
+    viz_dir: str = ""
     # resume_path: FULL-state resume for train() — params + opt state +
     # step/schedule position + PRNG stream restore from an orbax dir, and
     # the loop continues at the right epoch (the reference's resume loses

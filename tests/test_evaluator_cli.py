@@ -46,6 +46,22 @@ def test_evaluate_rollout(model_and_params):
     assert res1["avg_step_time"] == 0.0
 
 
+def test_evaluate_emits_viz(model_and_params, tmp_path):
+    """evaluate(viz_dir=...) renders the first sample of each dataset
+    (rollout PNG + GIF — the --viz_dir CLI hook, utils/viz.save_eval_viz)."""
+    import os
+
+    model, params = model_and_params
+    res = evaluate(
+        model, params, ["synth_eval"], res=32, t_in=6, batch_size=4,
+        num_workers=2, viz_dir=str(tmp_path),
+    )
+    assert np.isfinite(res["synth_eval"]["loss_full"])
+    files = os.listdir(tmp_path)
+    assert any(f.endswith("_rollout.png") for f in files), files
+    assert any(f.endswith("_rollout.gif") for f in files), files
+
+
 def test_refill_mask():
     msk = np.zeros((2, 8, 8, 1, 3), np.float32)
     msk[:, ::2, ::2, :, :2] = 1.0
