@@ -131,8 +131,16 @@ def main(argv=None):
         cfg.lr_method, cfg.lr, max(len(train_dl), 1), cfg.epochs,
         warmup_epochs=cfg.warmup_epochs,
     )
+    beta1 = cfg.beta1
+    if cfg.lr_method == "cycle" and cfg.cycle_momentum:
+        # reference-exact: OneCycleLR cycles beta1 (see Config.cycle_momentum)
+        from dpot_tpu.train.schedules import onecycle_momentum
+
+        beta1 = onecycle_momentum(
+            max(len(train_dl), 1) * cfg.epochs, cfg.warmup_epochs, cfg.epochs
+        )
     tx = build_optimizer(
-        cfg.opt, sched, cfg.beta1, cfg.beta2, grad_clip=cfg.grad_clip,
+        cfg.opt, sched, beta1, cfg.beta2, grad_clip=cfg.grad_clip,
         weight_decay=cfg.weight_decay,
     )
     apply3d = wrap_pred_only(model.apply)

@@ -166,14 +166,23 @@ def build_everything(cfg: TrainConfig, mesh=None, init_params=None):
         remat=cfg.remat, **extra,
     )
 
+    steps_per_epoch = _opt_steps_per_epoch(cfg, train_dl, train_ds)
     sched = build_schedule(
-        cfg.lr_method, cfg.lr, _opt_steps_per_epoch(cfg, train_dl, train_ds),
+        cfg.lr_method, cfg.lr, steps_per_epoch,
         cfg.epochs,
         warmup_epochs=cfg.warmup_epochs, step_size=cfg.step_size,
         step_gamma=cfg.step_gamma, lr_step_size=cfg.lr_step_size,
     )
+    beta1 = cfg.beta1
+    if cfg.lr_method == "cycle" and cfg.cycle_momentum:
+        # reference-exact: OneCycleLR cycles beta1 (see Config.cycle_momentum)
+        from dpot_tpu.train.schedules import onecycle_momentum
+
+        beta1 = onecycle_momentum(
+            steps_per_epoch * cfg.epochs, cfg.warmup_epochs, cfg.epochs
+        )
     tx = build_optimizer(
-        cfg.opt, sched, cfg.beta1, cfg.beta2, grad_clip=cfg.grad_clip,
+        cfg.opt, sched, beta1, cfg.beta2, grad_clip=cfg.grad_clip,
         weight_decay=cfg.weight_decay,
         moment_dtype=(
             jnp.bfloat16 if cfg.opt_moment_dtype == "bfloat16" else None

@@ -51,7 +51,7 @@ class AdamState(NamedTuple):
 
 def adam(
     learning_rate: Schedule,
-    b1: float = 0.9,
+    b1: Union[float, Callable] = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 1e-6,
@@ -73,7 +73,12 @@ def adam(
 
     def update(grads, state, params):
         count = state.count + 1
-        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        # b1 may be a schedule (onecycle_momentum — torch OneCycleLR's
+        # cycle_momentum writes the CURRENT beta1 into the group each step
+        # and the reference optimizers use it everywhere, including the
+        # bias correction, utils/optimizer.py:120-127)
+        b1c = _lr_at(b1, state.count)
+        bc1 = 1.0 - b1c ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
         gnorm = _global_norm(grads)
         cs = (
@@ -85,7 +90,7 @@ def adam(
         # moment's dtype (a no-op unless moment_dtype narrows it)
         mu = jax.tree.map(
             lambda m, g, p: (
-                b1 * _acc(m) + (1 - b1) * (g * cs + weight_decay * p)
+                b1c * _acc(m) + (1 - b1c) * (g * cs + weight_decay * p)
             ).astype(m.dtype),
             state.mu, grads, params,
         )
@@ -110,7 +115,7 @@ def adam(
 
 def adamw(
     learning_rate: Schedule,
-    b1: float = 0.9,
+    b1: Union[float, Callable] = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 1e-2,
@@ -130,7 +135,8 @@ def adamw(
 
     def update(grads, state, params):
         count = state.count + 1
-        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        b1c = _lr_at(b1, state.count)  # may be a schedule (see adam)
+        bc1 = 1.0 - b1c ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
         gnorm = _global_norm(grads)
         cs = (
@@ -139,7 +145,7 @@ def adamw(
             else 1.0
         )
         mu = jax.tree.map(
-            lambda m, g: (b1 * _acc(m) + (1 - b1) * (g * cs)).astype(m.dtype),
+            lambda m, g: (b1c * _acc(m) + (1 - b1c) * (g * cs)).astype(m.dtype),
             state.mu, grads,
         )
         nu = jax.tree.map(
@@ -165,7 +171,7 @@ def adamw(
 
 def lamb(
     learning_rate: Schedule,
-    b1: float = 0.9,
+    b1: Union[float, Callable] = 0.9,
     b2: float = 0.999,
     eps: float = 1e-6,
     weight_decay: float = 1e-4,
@@ -190,6 +196,7 @@ def lamb(
 
     def update(grads, state, params):
         count = state.count + 1
+        b1c = _lr_at(b1, state.count)  # may be a schedule (see adam)
         gnorm = _global_norm(grads)
         cs = (
             jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
@@ -197,7 +204,7 @@ def lamb(
             else 1.0
         )
         mu = jax.tree.map(
-            lambda m, g: (b1 * _acc(m) + (1 - b1) * (g * cs)).astype(m.dtype),
+            lambda m, g: (b1c * _acc(m) + (1 - b1c) * (g * cs)).astype(m.dtype),
             state.mu, grads,
         )
         nu = jax.tree.map(
@@ -208,7 +215,7 @@ def lamb(
         )
         if debias:
             cf = count.astype(jnp.float32)
-            bias_correction = jnp.sqrt(1.0 - b2**cf) / (1.0 - b1**cf)
+            bias_correction = jnp.sqrt(1.0 - b2**cf) / (1.0 - b1c**cf)
         else:
             bias_correction = 1.0
         lr = _lr_at(learning_rate, state.count)
@@ -301,7 +308,7 @@ def clip_by_global_norm(max_norm: float) -> optax.GradientTransformation:
 def build_optimizer(
     name: str,
     learning_rate: Schedule,
-    beta1: float = 0.9,
+    beta1: Union[float, Callable] = 0.9,
     beta2: float = 0.999,
     grad_clip: Optional[float] = None,
     weight_decay: Optional[float] = None,

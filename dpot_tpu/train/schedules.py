@@ -41,6 +41,39 @@ def onecycle(
     return schedule
 
 
+def onecycle_momentum(
+    total_steps: int,
+    warmup_epochs: float,
+    epochs: float,
+    base_momentum: float = 0.85,
+    max_momentum: float = 0.95,
+):
+    """torch OneCycleLR's cycle_momentum=True beta1 trajectory (its
+    DEFAULT, which the reference never disables for 'cycle'): beta1 starts
+    at max_momentum, cos-anneals to base_momentum at peak lr, back to
+    max_momentum at the end — torch writes it into group['betas'] each
+    step and the reference's hand-rolled Adam/Lamb read group['betas']
+    per step (utils/optimizer.py:120,287), so the reference's 'cycle'
+    runs ALWAYS train with cycled beta1 (the --beta1 flag is overwritten).
+    Same fenceposts as onecycle(); feed to build_optimizer(beta1=...)."""
+    pct_start = min(max(warmup_epochs / epochs, 0.0), 0.95)
+    up = max(float(pct_start * total_steps) - 1.0, 1e-9)
+    down = max(float(total_steps - 1) - up, 1e-9)
+
+    def _anneal(start, end, pct):
+        return end + (start - end) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    def schedule(count):
+        c = jnp.asarray(count, jnp.float32)
+        m_up = _anneal(max_momentum, base_momentum, jnp.clip(c / up, 0.0, 1.0))
+        m_down = _anneal(
+            base_momentum, max_momentum, jnp.clip((c - up) / down, 0.0, 1.0)
+        )
+        return jnp.where(c <= up, m_up, m_down)
+
+    return schedule
+
+
 def step_decay(base_lr: float, step_size: int, gamma: float = 0.5):
     """torch StepLR stepped per iteration (train_temporal.py:142)."""
 

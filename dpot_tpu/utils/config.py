@@ -51,6 +51,12 @@ class TrainConfig:
     beta2: float = 0.999
     weight_decay: Optional[float] = None
     lr_method: str = "cycle"
+    # torch OneCycleLR's cycle_momentum default: under lr_method='cycle'
+    # the REFERENCE trains with beta1 cycled 0.95->0.85->0.95 (OneCycleLR
+    # overwrites group['betas'] each step and the reference optimizers
+    # read it, utils/optimizer.py:120,287) — --beta1 is ignored there.
+    # True = reference-exact; False = honor --beta1 as a constant.
+    cycle_momentum: bool = True
     lr_step_size: int = 20
     step_size: int = 100
     step_gamma: float = 0.5

@@ -45,6 +45,30 @@ def test_onecycle_matches_torch():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-10)
 
 
+def test_onecycle_momentum_matches_torch():
+    """OneCycleLR's cycle_momentum=True beta1 trajectory — the reference's
+    effective beta1 under lr_method='cycle' (torch writes group['betas']
+    each step; reference Adam/Lamb read it, utils/optimizer.py:120,287)."""
+    from dpot_tpu.train.schedules import onecycle_momentum
+
+    total = 50
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1.0, betas=(0.9, 0.999))
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=1e-3, div_factor=1e4, final_div_factor=1e4,
+        pct_start=0.2, total_steps=total,
+    )
+    want = []
+    for _ in range(total):
+        want.append(opt.param_groups[0]["betas"][0])
+        opt.step()
+        sched.step()
+    got = jax_lrs(
+        onecycle_momentum(total, warmup_epochs=2, epochs=10), total
+    )
+    np.testing.assert_allclose(got, np.array(want), rtol=2e-6, atol=1e-9)
+
+
 def test_step_decay_matches_torch():
     want = torch_lrs(
         lambda o: torch.optim.lr_scheduler.StepLR(o, step_size=10, gamma=0.5),

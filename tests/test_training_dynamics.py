@@ -1,0 +1,183 @@
+"""Trajectory-level TRAINING-DYNAMICS parity vs the reference trainer.
+
+Forward parity (test_interop.py) pins the model; this pins the full
+training composition — model fwd/bwd, SimpleLpLoss over the AR rollout,
+grad clip, the reference's hand-rolled Adam/Lamb, OneCycleLR (lr AND its
+cycle_momentum beta1 trajectory) — by converting a random-init reference
+DPOT, training BOTH sides for 50 steps on identical batch sequences
+(f32, noise off), and asserting the loss curves agree.
+
+The reference loop semantics come from train_temporal.py:189-230 (AR
+rollout loss accumulation, backward through the unrolled rollout,
+clip_grad_norm_, per-iteration scheduler step), re-run here in torch
+directly on fixed numpy batches: feeding both trainers one pre-generated
+batch sequence removes DataLoader shuffle-order nondeterminism, which is
+the only part of the reference loop NOT exercised (the loader itself is
+pinned by test_data.py).
+"""
+
+import copy
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference mount not available"
+)
+
+# small-but-real DPOT: 2 blocks, AR rollout of 2 steps per batch
+MODEL_KW = dict(
+    img_size=32, patch_size=4, in_channels=2, out_channels=2,
+    in_timesteps=6, out_timesteps=1, n_blocks=4, embed_dim=32,
+    out_layer_dim=16, depth=2, modes=8, mlp_ratio=1.0, n_cls=3,
+    normalize=False,
+)
+N_STEPS = 50
+STEPS_PER_EPOCH, EPOCHS, WARMUP = 10, 5, 1
+LR, GRAD_CLIP, T_BUNDLE = 1e-3, 1.0, 1
+
+
+def _load_ref(rel):
+    spec = importlib.util.spec_from_file_location(
+        "ref_" + rel.replace("/", "_")[:-3], os.path.join(REF, rel)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _batches(n, B=4, seed=0):
+    """Fixed batch sequence: smooth random trajectories, x=first 6 frames,
+    y=next 2 (T_ar=2 exercises the rollout feed-back path)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        # temporally-persistent smooth fields: copying the last input frame
+        # is a good predictor, so 50 steps of training visibly move the
+        # loss (a pure-noise target would leave both curves flat at the
+        # trivial minimum and the comparison toothless)
+        base = rng.standard_normal((B, 8, 8, 1, 2)).astype(np.float32)
+        traj = np.repeat(np.repeat(np.repeat(base, 4, axis=1), 4, axis=2),
+                         8, axis=3)  # smooth 32^2, constant in time
+        traj += 0.05 * rng.standard_normal(
+            (B, 32, 32, 8, 2)
+        ).astype(np.float32)
+        out.append(
+            {
+                "x": traj[..., :6, :],
+                "y": traj[..., 6:8, :],
+                "msk": np.ones((B, 32, 32, 1, 2), np.float32),
+                "cls": np.zeros((B,), np.int64),
+            }
+        )
+    return out
+
+
+def _run_reference(opt_name, batches):
+    """train_temporal.py:189-230 semantics in torch-CPU, noise off."""
+    ref_dpot = _load_ref("models/dpot.py")
+    ref_opt = _load_ref("utils/optimizer.py")
+    ref_crit = _load_ref("utils/criterion.py")
+
+    torch.manual_seed(0)
+    model = ref_dpot.DPOTNet(**MODEL_KW)
+    sd0 = copy.deepcopy(model.state_dict())
+    myloss = ref_crit.SimpleLpLoss(size_average=False)
+    if opt_name == "lamb":
+        opt = ref_opt.Lamb(
+            model.parameters(), lr=LR, betas=(0.9, 0.999), adam=True,
+            debias=False, weight_decay=1e-4,
+        )
+    else:
+        opt = ref_opt.Adam(
+            model.parameters(), lr=LR, betas=(0.9, 0.999), weight_decay=1e-6
+        )
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=LR, div_factor=1e4, final_div_factor=1e4,
+        pct_start=WARMUP / EPOCHS, steps_per_epoch=STEPS_PER_EPOCH,
+        epochs=EPOCHS,
+    )
+    losses = []
+    for b in batches:
+        xx = torch.from_numpy(b["x"])
+        yy = torch.from_numpy(b["y"])
+        msk = torch.from_numpy(b["msk"])
+        loss = 0.0
+        for t in range(0, yy.shape[-2], T_BUNDLE):
+            y = yy[..., t : t + T_BUNDLE, :]
+            im, _ = model(xx)
+            loss = loss + myloss(im, y, mask=msk)
+            xx = torch.cat((xx[..., T_BUNDLE:, :], im), dim=-2)
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), GRAD_CLIP)
+        opt.step()
+        sched.step()
+        losses.append(float(loss.item()))
+    return sd0, np.array(losses)
+
+
+def _run_ours(opt_name, sd0, batches):
+    from dpot_tpu.models.dpot import DPOTNet
+    from dpot_tpu.train.interop import dpot_params_from_torch
+    from dpot_tpu.train.optimizers import build_optimizer
+    from dpot_tpu.train.schedules import build_schedule, onecycle_momentum
+    from dpot_tpu.train.state import TrainState
+    from dpot_tpu.train.step import make_train_step
+
+    model = DPOTNet(**MODEL_KW)
+    params = jax.tree.map(
+        jnp.asarray,
+        dpot_params_from_torch(sd0, depth=MODEL_KW["depth"]),
+    )
+    total = STEPS_PER_EPOCH * EPOCHS
+    sched = build_schedule(
+        "cycle", LR, STEPS_PER_EPOCH, EPOCHS, warmup_epochs=WARMUP
+    )
+    beta1 = onecycle_momentum(total, WARMUP, EPOCHS)
+    tx = build_optimizer(
+        opt_name, sched, beta1, 0.999, grad_clip=GRAD_CLIP
+    )
+    state = TrainState.create(model.apply, params, tx, jax.random.key(0))
+    step = make_train_step(t_bundle=T_BUNDLE, noise_scale=0.0, donate=False)
+    losses = []
+    for b in batches:
+        state, aux = step(
+            state,
+            {
+                "x": jnp.asarray(b["x"]),
+                "y": jnp.asarray(b["y"]),
+                "msk": jnp.asarray(b["msk"]),
+                "cls": jnp.asarray(b["cls"], jnp.int32),
+            },
+        )
+        losses.append(float(aux["loss_step"]))
+    return np.array(losses)
+
+
+@pytest.mark.parametrize("opt_name", ["adam", "lamb"])
+def test_training_dynamics_match_reference(opt_name):
+    batches = _batches(N_STEPS)
+    sd0, ref_losses = _run_reference(opt_name, batches)
+    our_losses = _run_ours(opt_name, sd0, batches)
+    rel = np.abs(our_losses - ref_losses) / np.abs(ref_losses)
+    print(
+        f"\n{opt_name}: step0 ref={ref_losses[0]:.6f} ours={our_losses[0]:.6f}"
+        f" | step{N_STEPS-1} ref={ref_losses[-1]:.6f} "
+        f"ours={our_losses[-1]:.6f} | max rel dev {rel.max():.2e} "
+        f"(final {rel[-1]:.2e})"
+    )
+    # training must actually move (the curves can't agree by standing still)
+    assert ref_losses[-1] < 0.8 * ref_losses[0], ref_losses
+    # measured on CPU: max rel dev 3.8e-6 (adam) / 5.9e-7 (lamb) over all
+    # 50 steps — the dynamics are numerically faithful, not just close.
+    # 1e-4 leaves room for BLAS/platform variation while still failing on
+    # any real semantic drift (a constant-0.9 beta1 alone measures 2.4e-2)
+    assert rel.max() < 1e-4, rel
