@@ -109,6 +109,23 @@ def _target_mask(x, size_orig, n_spatial: int) -> np.ndarray:
     return msk
 
 
+def _draw_start(rng, hi: int) -> int:
+    """Window-start draw from whatever randomness the caller supplies:
+    a Generator (per-item streams, __getitem__ contract), a stateless
+    uint64 word (the loader fast path — loader._window_words; a modulo of
+    a 64-bit word over hi <= a few dozen has bias < 1e-17), a legacy
+    RandomState, or None (module-global stream)."""
+    if hi <= 1:
+        return 0
+    if isinstance(rng, (int, np.integer)):
+        return int(int(rng) % hi)
+    if rng is None:
+        rng = np.random
+    if isinstance(rng, np.random.Generator):
+        return int(rng.integers(hi))
+    return int(rng.randint(hi))
+
+
 def _copy_exact(dst, src):
     """np.copyto with broadcasting DISABLED: batch slots are shaped from
     the first batch (loader fast path), so a later item of a different
@@ -194,6 +211,20 @@ class MixedTemporalDataset:
             )
         )
 
+        # per-dataset fetch_into fast-path eligibility, computed ONCE
+        # (six attribute/tuple checks per item add up at the Ti ingest
+        # bar of ~660 us/item)
+        self._fast_ok = [
+            train
+            and not normalize
+            and tuple(s.downsample) == (1, 1)
+            and tuple(s.in_size) == (res, res)
+            and s.n_channels == self.n_channels
+            and s.t_total >= t_in + t_ar
+            for s in self.specs
+        ]
+        self._win_his = [s.t_total - (t_in + t_ar) + 1 for s in self.specs]
+
         self.normalize = normalize
         self.normalizers: list = []
         if normalize:
@@ -245,6 +276,8 @@ class MixedTemporalDataset:
 
     def locate(self, idx: int) -> tuple[int, int]:
         """Weighted mixture indexing (griddataset.py:133-140)."""
+        if len(self.specs) == 1:  # common case: skip the searchsorted
+            return 0, idx // self.data_weights[0]
         dataset_idx = int(np.searchsorted(self.cumulative_sizes, idx + 1))
         data_idx = idx if dataset_idx == 0 else idx - int(
             self.cumulative_sizes[dataset_idx - 1]
@@ -263,9 +296,8 @@ class MixedTemporalDataset:
             # griddataset.py:146-153), then read+resize ONLY the
             # t_in+t_ar kept frames: the windowed HDF5 read + windowed
             # resize halve the per-item ingest cost at t_total=21
-            rng = rng or np.random
             hi = max(spec.t_total - (self.t_in + self.t_ar) + 1, 1)
-            start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
+            start = _draw_start(rng, hi)
             win = slice(start, min(start + self.t_in + self.t_ar, spec.t_total))
             sample = np.asarray(
                 self._std_layout(
@@ -319,26 +351,18 @@ class MixedTemporalDataset:
         (same rng draw, same window); tests/test_ingest_rate.py checks
         exact equality."""
         dataset_idx, data_idx = self.locate(idx)
-        spec = self.specs[dataset_idx]
-        fast = (
-            self.train
-            and not self.normalize
-            and tuple(self.downsamples[dataset_idx]) == (1, 1)
-            and tuple(spec.in_size) == (self.res, self.res)
-            and spec.n_channels == self.n_channels
-            and spec.t_total >= self.t_in + self.t_ar
-        )
-        tmaj_batch = getattr(self, "time_major_batches", False)
+        fast = self._fast_ok[dataset_idx]
+        tmaj_batch = self.time_major_batches
         if not fast or (self._tmaj[dataset_idx] and not tmaj_batch):
             # (a time-major item inside a standard-layout batch needs the
             # host transpose — generic route)
             x, y, msk, cls = self.__getitem__(idx, rng=rng)
             _copy_exact(out_x, x)
             _copy_exact(out_y, y)
-            _copy_exact(out_msk, msk)
+            if out_msk is not None:
+                _copy_exact(out_msk, msk)
             return cls
-        hi = spec.t_total - (self.t_in + self.t_ar) + 1
-        start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
+        start = _draw_start(rng, self._win_his[dataset_idx])
         win = slice(start, start + self.t_in + self.t_ar)
         sample = self.readers[dataset_idx](data_idx, tsel=win, copy=False)
         if tmaj_batch:
@@ -347,13 +371,15 @@ class MixedTemporalDataset:
             # step transposes on device (make_train_step time_major=True)
             _copy_exact(out_x, sample[: self.t_in])
             _copy_exact(out_y, sample[self.t_in :])
-            out_msk[...] = 1.0
+            if out_msk is not None:
+                out_msk[...] = 1.0
             return np.int32(dataset_idx)
         if sample.ndim == 3:
             sample = sample[..., None]
         _copy_exact(out_x, sample[..., : self.t_in, :])
         _copy_exact(out_y, sample[..., self.t_in :, :])
-        out_msk[...] = 1.0
+        if out_msk is not None:
+            out_msk[...] = 1.0
         return np.int32(dataset_idx)
 
 
@@ -381,7 +407,8 @@ class MixedMaskedDataset(MixedTemporalDataset):
         x_msk, x, t_msk, cls = self.__getitem__(idx, rng=rng)
         _copy_exact(out_x, x_msk)
         _copy_exact(out_y, x)
-        _copy_exact(out_msk, t_msk)
+        if out_msk is not None:
+            _copy_exact(out_msk, t_msk)
         return cls
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
@@ -390,9 +417,8 @@ class MixedMaskedDataset(MixedTemporalDataset):
             # windowed read+resize of just the t_in kept frames (see
             # MixedTemporalDataset.__getitem__)
             spec = self.specs[dataset_idx]
-            rng = rng or np.random.default_rng()
             hi = max(spec.t_total - self.t_in + 1, 1)
-            start = int(rng.integers(hi))
+            start = _draw_start(rng, hi)
             win = slice(start, min(start + self.t_in, spec.t_total))
             x = np.asarray(
                 self._std_layout(
@@ -588,16 +614,17 @@ class TemporalDataset3D:
             x, y, msk, cls = self.__getitem__(idx, rng=rng)
             _copy_exact(out_x, x)
             _copy_exact(out_y, y)
-            _copy_exact(out_msk, msk)
+            if out_msk is not None:
+                _copy_exact(out_msk, msk)
             return cls
-        rng = rng or np.random
         hi = self.spec.t_total - (self.t_in + self.t_ar) + 1
-        start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
+        start = _draw_start(rng, hi)
         win = slice(start, start + self.t_in + self.t_ar)
         sample = self.reader(idx, tsel=win, copy=False)
         _copy_exact(out_x, sample[: self.t_in])
         _copy_exact(out_y, sample[self.t_in :])
-        out_msk[...] = 1.0
+        if out_msk is not None:
+            out_msk[...] = 1.0
         return np.int32(0)
 
     def __len__(self) -> int:
@@ -622,9 +649,8 @@ class TemporalDataset3D:
             # frames — at 128^3x21x5 a full-trajectory read is 344MB/item;
             # the window cuts ingest bytes and resize work ~2x (see
             # MixedTemporalDataset.__getitem__)
-            rng = rng or np.random
             hi = max(self.spec.t_total - (self.t_in + self.t_ar) + 1, 1)
-            start = int(rng.integers(hi)) if isinstance(rng, np.random.Generator) else int(rng.randint(hi))
+            start = _draw_start(rng, hi)
             win = slice(start, min(start + self.t_in + self.t_ar, self.spec.t_total))
             sample = np.asarray(
                 self._std_layout(self.reader(idx, tsel=win)), dtype=np.float32

@@ -18,6 +18,55 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+_malloc_tuned = False
+
+
+def _tune_malloc() -> None:
+    """Raise glibc's mmap/trim thresholds once per process: batch buffers
+    (tens of MB per np.empty) otherwise come from fresh mmap regions that
+    are unmapped on free, so EVERY batch pays ~500 page faults during the
+    copy (~250 us/item measured — a third of the whole ingest budget at
+    the Ti rate bar). With the thresholds raised the arena reuses pages.
+    Best-effort: silently a no-op off glibc/Linux."""
+    global _malloc_tuned
+    if _malloc_tuned:
+        return
+    _malloc_tuned = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 256 * 1024 * 1024)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 256 * 1024 * 1024)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _window_words(seed: int, epoch: int, base: int, n: int) -> np.ndarray:
+    """Stateless per-item 64-bit random words (splitmix64 of the global
+    item index mixed with the (seed, epoch) stream id). Replaces per-item
+    np.random.Generator construction on the fetch_into fast path — ~21 us
+    PER ITEM of SeedSequence hashing, a measured 3% of the whole ingest
+    budget — with one vectorized scramble per batch (<1 us total).
+    Keyed by ABSOLUTE index, so multi-host shards draw identical words
+    for the same items regardless of how the batch is split."""
+    x = np.arange(base, base + n, dtype=np.uint64)
+    x = (x + np.uint64(1)) * _SM_GAMMA + np.uint64(
+        (int(seed) & 0xFFFFFFFF) << 20 | ((int(epoch) + 1) & 0xFFFFF)
+    )
+    z = x.copy()
+    z ^= z >> np.uint64(30)
+    z *= _SM_M1
+    z ^= z >> np.uint64(27)
+    z *= _SM_M2
+    z ^= z >> np.uint64(31)
+    return z
+
 
 class DataLoader:
     def __init__(
@@ -28,9 +77,10 @@ class DataLoader:
         drop_last: bool = False,
         num_workers: int = 8,
         seed: int = 0,
-        prefetch: int = 2,
+        prefetch: int = 8,
         num_shards: int = 1,
         shard_index: int = 0,
+        gil_interval: Optional[float] = 0.0001,
     ):
         """batch_size is the GLOBAL batch size. With num_shards > 1
         (multi-host: one process per host), every host walks the same
@@ -39,7 +89,17 @@ class DataLoader:
         for jax.make_array_from_process_local_data
         (parallel/multihost.py). Global batches that don't divide
         num_shards evenly are skipped on the sharded path (same data on
-        every host is the invariant that matters)."""
+        every host is the invariant that matters).
+
+        gil_interval: sys.setswitchinterval applied while an iterator is
+        live (restored after). The interpreter-default 5 ms interval makes
+        each producer<->consumer queue handoff pay up to 5 ms of GIL
+        wake-up latency — measured 25-40% of loader throughput gone on a
+        1-core host. 0.1 ms + prefetch=8 measured 1046 -> 1812 samples/s
+        median at the 128^2x21x4 pretraining shape (the 1-worker inline
+        assembly path alone is 1571/s; deeper prefetch amortizes the
+        handoffs below it). None leaves the interpreter default
+        untouched."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,7 +109,9 @@ class DataLoader:
         self.prefetch = prefetch
         self.num_shards = max(1, num_shards)
         self.shard_index = shard_index
+        self.gil_interval = gil_interval
         self._epoch = 0
+        _tune_malloc()
         if self.num_shards > 1 and batch_size % self.num_shards != 0:
             # the shard path can only skip non-divisible batches; with an
             # indivisible global batch size that would be EVERY batch —
@@ -131,8 +193,12 @@ class DataLoader:
             k, idx = args
             if not supports_rng:
                 return self.dataset[int(idx)]
-            item_rng = np.random.default_rng((*rng_key, k))
-            return self.dataset.__getitem__(int(idx), rng=item_rng)
+            # the same stateless word stream as the fetch_into fast path
+            # (so fast and generic routes yield identical batches — pinned
+            # by test_ingest_rate.py); datasets needing a full Generator
+            # seed one from the word (np.random.default_rng(word))
+            word = _window_words(*rng_key, k, 1)[0]
+            return self.dataset.__getitem__(int(idx), rng=word)
 
         # zero-intermediate assembly: datasets exposing fetch_into write
         # each item STRAIGHT into its batch slot (one strided copy from
@@ -147,19 +213,49 @@ class DataLoader:
         declared = getattr(self.dataset, "fast_item_shapes", None)
         slot_shapes: list = list(declared) if (use_into and declared) else []
 
+        # all-ones train masks (advertised by the dataset) are served from
+        # ONE shared read-only buffer instead of being re-filled per item:
+        # the fill alone is ~11 us/item (1.5% of budget) plus a fresh
+        # 256 KB allocation per batch. The train loop drops the mask
+        # entirely under ones_mask anyway (train/loop.py).
+        elide_msk = bool(getattr(self.dataset, "train_masks_are_ones", False))
+        shared_msk: list = []  # [ones array of (batch_size, *msk_shape)]
+
         def fetch_batch_into(pool, batch_ids, base):
             n = len(batch_ids)
-            x, y, msk = (np.empty((n, *s), np.float32) for s in slot_shapes)
+            x, y = (np.empty((n, *s), np.float32) for s in slot_shapes[:2])
+            if elide_msk:
+                if not shared_msk:
+                    shared_msk.append(
+                        np.ones((self.batch_size, *slot_shapes[2]), np.float32)
+                    )
+                msk = shared_msk[0][:n]
+            else:
+                msk = np.empty((n, *slot_shapes[2]), np.float32)
             cls = np.empty((n,), np.int32)
+            words = _window_words(*rng_key, base, n)
+            fetch = self.dataset.fetch_into  # hoisted: this loop IS the
+            # ingest hot path (~660 us/item budget at the Ti bar)
 
-            def one(j_i):
-                j, i = j_i
-                item_rng = np.random.default_rng((*rng_key, base + j))
-                cls[j] = self.dataset.fetch_into(
-                    int(i), x[j], y[j], msk[j], item_rng
-                )
+            if self.num_workers == 1:
+                # one host core: the pool only adds dispatch overhead here
+                if elide_msk:
+                    for j in range(n):
+                        cls[j] = fetch(int(batch_ids[j]), x[j], y[j], None,
+                                       words[j])
+                else:
+                    for j in range(n):
+                        cls[j] = fetch(int(batch_ids[j]), x[j], y[j], msk[j],
+                                       words[j])
+            else:
+                def one(j_i):
+                    j, i = j_i
+                    cls[j] = fetch(
+                        int(i), x[j], y[j], None if elide_msk else msk[j],
+                        words[j],
+                    )
 
-            list(pool.map(one, enumerate(batch_ids)))
+                list(pool.map(one, enumerate(batch_ids)))
             return x, y, msk, cls
 
         def fetch_batch(pool, batch_ids, base):
@@ -213,6 +309,12 @@ class DataLoader:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        import sys
+
+        old_interval = None
+        if self.gil_interval is not None:
+            old_interval = sys.getswitchinterval()
+            sys.setswitchinterval(self.gil_interval)
         try:
             while True:
                 item = q.get()
@@ -223,3 +325,5 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+            if old_interval is not None:
+                sys.setswitchinterval(old_interval)

@@ -72,6 +72,13 @@ class RawScatterReader:
         self._probe_size = -1  # byte size of the probed file
         self._time_major: Optional[bool] = None
         self._probe_lock = threading.Lock()  # the loader reads from a pool
+        # per-file memmap cache: constructing np.memmap costs ~40-60 us
+        # (mmap syscall + object setup) plus a stat for the size guard —
+        # ~8% of the whole per-item ingest budget at 128^2x21x4 when paid
+        # on EVERY read. Mappings are tiny (one VMA each); the cap keeps a
+        # pathological 100k-file corpus under vm.max_map_count.
+        self._mm_cache: dict[int, np.memmap] = {}
+        self._mm_cap = 16384
 
     def _path(self, idx: int) -> str:
         return os.path.join(self.root, f"data_{idx}.hdf5")
@@ -104,23 +111,33 @@ class RawScatterReader:
                     self._layout = lay
         tmaj = self.time_major
         lay = self._layout
-        path = self._path(idx)
         if lay is not None:
-            off, shape, dtype = lay
-            nbytes = int(np.prod(shape)) * dtype.itemsize
-            # size check: the probed file's own header gave (off, shape);
-            # any sibling file of EXACTLY the probed byte size was written
-            # identically (same writer, same shape) and is safe to memmap
-            # with that layout. A different size (foreign writer, shorter
-            # trajectory, variable shapes) takes the h5py path.
-            if (
-                self._probe_size >= off + nbytes
-                and os.path.getsize(path) == self._probe_size
-            ):
-                m = np.memmap(path, dtype=dtype, mode="r", offset=off,
-                              shape=shape)
+            m = self._mm_cache.get(idx)
+            if m is None:
+                path = self._path(idx)
+                off, shape, dtype = lay
+                nbytes = int(np.prod(shape)) * dtype.itemsize
+                # size check (once per file, then the mapping is cached):
+                # the probed file's own header gave (off, shape); any
+                # sibling file of EXACTLY the probed byte size was written
+                # identically (same writer, same shape) and is safe to
+                # memmap with that layout. A different size (foreign
+                # writer, shorter trajectory, variable shapes) takes the
+                # h5py path.
+                if (
+                    self._probe_size >= off + nbytes
+                    and os.path.getsize(path) == self._probe_size
+                ):
+                    m = np.memmap(path, dtype=dtype, mode="r", offset=off,
+                                  shape=shape)
+                    with self._probe_lock:
+                        if len(self._mm_cache) >= self._mm_cap:
+                            self._mm_cache.pop(next(iter(self._mm_cache)))
+                        self._mm_cache[idx] = m
+            if m is not None:
                 w = _window(m, tsel, tmaj, self.n_spatial)
                 return w if not copy else np.array(w)
+        path = self._path(idx)
         import h5py
 
         with h5py.File(path, "r") as f:
