@@ -81,6 +81,8 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         gil_interval: Optional[float] = 0.0001,
+        x_dtype=None,
+        y_dtype=None,
     ):
         """batch_size is the GLOBAL batch size. With num_shards > 1
         (multi-host: one process per host), every host walks the same
@@ -99,7 +101,14 @@ class DataLoader:
         median at the 128^2x21x4 pretraining shape (the 1-worker inline
         assembly path alone is 1571/s; deeper prefetch amortizes the
         handoffs below it). None leaves the interpreter default
-        untouched."""
+        untouched.
+
+        x_dtype / y_dtype: slot dtype for the fetch_into fast path (e.g.
+        jnp.bfloat16 — the train wire format). The dtype conversion then
+        rides the ONE assembly copy (np.copyto converts in-pass) instead
+        of the train loop's separate astype pass over the same bytes on
+        the same core. Only fast-path batches (declared fast_item_shapes)
+        convert here; the loop's conditional cast covers the rest."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -110,6 +119,8 @@ class DataLoader:
         self.num_shards = max(1, num_shards)
         self.shard_index = shard_index
         self.gil_interval = gil_interval
+        self.x_dtype = np.dtype(x_dtype) if x_dtype is not None else np.float32
+        self.y_dtype = np.dtype(y_dtype) if y_dtype is not None else np.float32
         self._epoch = 0
         _tune_malloc()
         if self.num_shards > 1 and batch_size % self.num_shards != 0:
@@ -223,7 +234,8 @@ class DataLoader:
 
         def fetch_batch_into(pool, batch_ids, base):
             n = len(batch_ids)
-            x, y = (np.empty((n, *s), np.float32) for s in slot_shapes[:2])
+            x = np.empty((n, *slot_shapes[0]), self.x_dtype)
+            y = np.empty((n, *slot_shapes[1]), self.y_dtype)
             if elide_msk:
                 if not shared_msk:
                     shared_msk.append(

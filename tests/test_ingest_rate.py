@@ -313,6 +313,31 @@ def test_time_major_is_faster(corpus, tm_corpus):
     assert r_tm > r_std, (r_tm, r_std)
 
 
+def test_loader_wire_dtype_matches_astype(tm_corpus):
+    """DataLoader(x_dtype=bf16) — the wire cast folded into the assembly
+    copy — must equal the f32 loader's output cast afterwards, bit for
+    bit (same rounding: np.copyto and astype use the same conversion)."""
+    import jax.numpy as jnp
+
+    old = _with_root(tm_corpus)
+    try:
+        ds = MixedTemporalDataset("ingest_t", res=128, t_in=10, t_ar=1,
+                                  n_channels=4, train=True)
+    finally:
+        _restore_root(old)
+    f32 = list(DataLoader(ds, batch_size=8, shuffle=True, num_workers=1,
+                          seed=7))
+    b16 = list(DataLoader(ds, batch_size=8, shuffle=True, num_workers=1,
+                          seed=7, x_dtype=jnp.bfloat16, y_dtype=jnp.bfloat16))
+    assert len(f32) == len(b16)
+    for (xf, yf, mf, cf), (xb, yb, mb, cb) in zip(f32, b16):
+        assert xb.dtype == np.dtype(jnp.bfloat16), xb.dtype
+        np.testing.assert_array_equal(xf.astype(jnp.bfloat16), xb)
+        np.testing.assert_array_equal(yf.astype(jnp.bfloat16), yb)
+        np.testing.assert_array_equal(mf, mb)
+        np.testing.assert_array_equal(cf, cb)
+
+
 def test_loader_rate_meets_ti_consumption(tm_corpus):
     """The FULL DataLoader over a time-major corpus must hit DPOT-Ti's
     measured sample consumption (189 steps/s x B=8 = 1512/s,
