@@ -140,6 +140,59 @@ def test_bias_act_second_order_golden_vs_torch():
         os.environ.pop("DPOT_PALLAS_INTERPRET", None)
 
 
+def test_upfirdn2d_second_order_golden_vs_torch():
+    """Grad-of-grad through upfirdn2d (the reference CUDA op implements
+    2nd order via the transpose-filter trick, upfirdn2d.py:217-272; ours
+    composes through lax.conv and must differentiate to any order).
+    upfirdn2d is linear in x, so make the scalar nonlinear (sum of
+    squares) and HVP against torch double-backward."""
+    rng = np.random.default_rng(11)
+    xn = rng.standard_normal((1, 8, 8, 2)).astype(np.float32)
+    vn = rng.standard_normal((1, 8, 8, 2)).astype(np.float32)
+    f = np.outer([1.0, 3.0, 3.0, 1.0], [1.0, 3.0, 3.0, 1.0]).astype(np.float32) / 64.0
+
+    def scalar(x_):
+        return jnp.sum(
+            upfirdn2d(x_, jnp.asarray(f), up=2, down=1,
+                      padding=[2, 1, 2, 1], gain=2.0) ** 2
+        )
+
+    x, v = jnp.asarray(xn), jnp.asarray(vn)
+    h = np.asarray(
+        jax.grad(lambda z: jnp.vdot(jax.grad(scalar)(z), v))(x)
+    )
+
+    xt = torch.from_numpy(xn).requires_grad_(True)
+    # independent torch forward of the same op (NCHW conv formulation)
+    def tfwd(z):
+        zz = z.permute(0, 3, 1, 2)
+        B, C, H, W = zz.shape
+        zz = zz.reshape(B, C, H, 1, W, 1)
+        zz = torch.nn.functional.pad(zz, [0, 1, 0, 0, 0, 1]).reshape(B, C, 2 * H, 2 * W)
+        zz = torch.nn.functional.pad(zz, [2, 1, 2, 1])
+        w = torch.from_numpy(f * 2.0).flip([0, 1])[None, None].repeat(C, 1, 1, 1)
+        return torch.nn.functional.conv2d(zz, w, groups=C).permute(0, 2, 3, 1)
+
+    st = (tfwd(xt) ** 2).sum()
+    (gt,) = torch.autograd.grad(st, xt, create_graph=True)
+    (ht,) = torch.autograd.grad((gt * torch.from_numpy(vn)).sum(), xt)
+    np.testing.assert_allclose(h, ht.detach().numpy(), atol=1e-3, rtol=1e-4)
+
+    # filtered_lrelu (nonlinear): just assert grad-of-grad traces and is
+    # finite — the 1st-order golden above pins the math
+    fu = setup_filter([1, 3, 3, 1])
+    b = jnp.asarray(rng.standard_normal(2).astype(np.float32))
+
+    def scalar_fl(x_):
+        return jnp.sum(
+            filtered_lrelu(x_, fu, fu, b, up=2, down=2,
+                           padding=(2, 1, 2, 1), slope=0.2, clamp=2.0) ** 2
+        )
+
+    h2 = jax.grad(lambda z: jnp.vdot(jax.grad(scalar_fl)(z), v))(x)
+    assert np.isfinite(np.asarray(h2)).all()
+
+
 def torch_upfirdn2d_ref(x, f, up, down, padding, flip_filter=False, gain=1.0):
     """Independent torch implementation of the reference algorithm
     (upfirdn2d.py:167-215), NCHW."""
