@@ -20,6 +20,7 @@ Knobs:
   DPOT_BENCH_ENTRY=<name>        run one LADDER entry in this process
   DPOT_BENCH_REMAT=1             force remat on the single-preset run
   DPOT_BENCH_MOM=bfloat16        bf16 optimizer moments (A/B the lever)
+  DPOT_BENCH_PDTYPE=bfloat16     bf16 working copy of params (f32 master)
   DPOT_BENCH_ACCUM=N             gradient accumulation over N microbatches
   DPOT_BENCH_SCAN=K              fuse K train steps per dispatch (lax.scan)
 
@@ -108,7 +109,15 @@ def bench_train(preset: str, batch: int, remat: bool = False,
         "lamb", build_schedule("cycle", 1e-3, 1000, 10, 1), grad_clip=1.0,
         moment_dtype=jnp.bfloat16 if mom == "bfloat16" else None,
     )
-    state = TrainState.create(model.apply, params, tx, training_key(1))
+    # DPOT_BENCH_PDTYPE=bfloat16: bf16 working copy of the params (f32
+    # master stays in the optimizer pass; fwd/bwd read bf16 and emit bf16
+    # grads — removes the per-step f32-master read + bf16 materialize from
+    # the model pass, ~0.7 GB HBM traffic at M; see train/state.py)
+    pdt = os.environ.get("DPOT_BENCH_PDTYPE", "")
+    state = TrainState.create(
+        model.apply, params, tx, training_key(1),
+        param_working_dtype=jnp.bfloat16 if pdt == "bfloat16" else None,
+    )
     step = make_train_step(
         t_bundle=1, noise_scale=5e-4, grad_accum=accum, scan_steps=scan_k
     )
@@ -127,6 +136,7 @@ def bench_train(preset: str, batch: int, remat: bool = False,
     sps = 1.0 / dt
     tag = "+remat" if remat else ""
     tag += "+bf16mom" if mom == "bfloat16" else ""
+    tag += "+bf16p" if pdt == "bfloat16" else ""
     tag += f"+accum{accum}" if accum > 1 else ""
     tag += f"+scan{scan_k}" if scan_k > 1 else ""
     # per-size estimate where derived (same model+batch, reference-as-
@@ -260,6 +270,19 @@ LADDER = {
     # fused multi-step dispatch (small models are dispatch-bound)
     "ti8_scan8": lambda: _env_train({"DPOT_BENCH_SCAN": "8"}, "Ti", 8),
     "s8_scan4": lambda: _env_train({"DPOT_BENCH_SCAN": "4"}, "S", 8),
+    # r4 lever: bf16 working copy of the params (f32 master in the
+    # optimizer pass only; fwd/bwd read bf16, grads arrive bf16)
+    "m8_bf16p": lambda: _env_train({"DPOT_BENCH_PDTYPE": "bfloat16"}, "M", 8),
+    # the combined fast recipe at M: bf16 mu + bf16 working params +
+    # 4-step fused dispatch (reference-exact f32 stays the headline)
+    "m8_fast": lambda: _env_train(
+        {
+            "DPOT_BENCH_MOM": "bfloat16",
+            "DPOT_BENCH_PDTYPE": "bfloat16",
+            "DPOT_BENCH_SCAN": "4",
+        },
+        "M", 8,
+    ),
     "l4_remat": lambda: bench_train("L", 4, remat=True, iters=10),
     # 1.03B DPOT-H on ONE 16GB chip: donation + remat fit params (4.1GB)
     # + f32 lamb moments (8.2GB) + grads/activations; ~15 steps/s at B=1,

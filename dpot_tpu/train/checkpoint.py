@@ -271,11 +271,27 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         # unflatten is shape-agnostic, so a different saved rng layout
         # rides through; _wrap_saved_rng re-infers its impl below
         payload = jax.tree.unflatten(treedef, flat)
+    new_lp = None
+    if state.params_lp is not None:
+        # the bf16 working copy is DERIVED state (train/state.py) — it is
+        # never saved; rebuild it from the restored f32 master
+        from dpot_tpu.train.state import cast_working_copy
+
+        lp_dtype = next(
+            (
+                l.dtype
+                for l in jax.tree.leaves(state.params_lp)
+                if l.dtype in (jax.numpy.bfloat16, jax.numpy.float16)
+            ),
+            jax.numpy.bfloat16,
+        )
+        new_lp = cast_working_copy(payload["params"], lp_dtype)
     return state.replace(
         params=payload["params"],
         opt_state=payload["opt_state"],
         step=jax.numpy.asarray(payload["step"]),
         rng=_wrap_saved_rng(payload["rng"]),
+        params_lp=new_lp,
     )
 
 

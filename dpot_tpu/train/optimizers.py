@@ -36,9 +36,15 @@ def _global_norm(grads) -> jax.Array:
 
 
 def _abs_sq(g: jax.Array) -> jax.Array:
-    """g * conj(g) as a real array (second-moment accumulator)."""
+    """g * conj(g) as a real array (second-moment accumulator).
+
+    Half-precision gradients (the bf16 working-copy fast path hands the
+    optimizer bf16 cotangents) are upcast first: squaring/summing in bf16
+    would both overflow early and accumulate at ~3 decimal digits."""
     if jnp.iscomplexobj(g):
         return jnp.square(g.real) + jnp.square(g.imag)
+    if g.dtype in (jnp.bfloat16, jnp.float16):
+        g = g.astype(jnp.float32)
     return jnp.square(g)
 
 
@@ -90,13 +96,13 @@ def adam(
         # moment's dtype (a no-op unless moment_dtype narrows it)
         mu = jax.tree.map(
             lambda m, g, p: (
-                b1c * _acc(m) + (1 - b1c) * (g * cs + weight_decay * p)
+                b1c * _acc(m) + (1 - b1c) * (_gacc(g) * cs + weight_decay * p)
             ).astype(m.dtype),
             state.mu, grads, params,
         )
         nu = jax.tree.map(
             lambda v, g, p: (
-                b2 * _acc(v) + (1 - b2) * _abs_sq(g * cs + weight_decay * p)
+                b2 * _acc(v) + (1 - b2) * _abs_sq(_gacc(g) * cs + weight_decay * p)
             ).astype(v.dtype),
             state.nu, grads, params,
         )
@@ -145,12 +151,12 @@ def adamw(
             else 1.0
         )
         mu = jax.tree.map(
-            lambda m, g: (b1c * _acc(m) + (1 - b1c) * (g * cs)).astype(m.dtype),
+            lambda m, g: (b1c * _acc(m) + (1 - b1c) * (_gacc(g) * cs)).astype(m.dtype),
             state.mu, grads,
         )
         nu = jax.tree.map(
             lambda v, g: (
-                b2 * _acc(v) + (1 - b2) * _abs_sq(g * cs)
+                b2 * _acc(v) + (1 - b2) * _abs_sq(_gacc(g) * cs)
             ).astype(v.dtype),
             state.nu, grads,
         )
@@ -204,12 +210,12 @@ def lamb(
             else 1.0
         )
         mu = jax.tree.map(
-            lambda m, g: (b1c * _acc(m) + (1 - b1c) * (g * cs)).astype(m.dtype),
+            lambda m, g: (b1c * _acc(m) + (1 - b1c) * (_gacc(g) * cs)).astype(m.dtype),
             state.mu, grads,
         )
         nu = jax.tree.map(
             lambda v, g: (
-                b2 * _acc(v) + (1 - b2) * _abs_sq(g * cs)
+                b2 * _acc(v) + (1 - b2) * _abs_sq(_gacc(g) * cs)
             ).astype(v.dtype),
             state.nu, grads,
         )
@@ -247,6 +253,14 @@ def lamb(
 
 def _real_dtype(p: jax.Array) -> jnp.dtype:
     return jnp.zeros((), p.dtype).real.dtype
+
+
+def _gacc(g):
+    """Promote a half-precision gradient leaf to f32 for the moment
+    accumulation arithmetic (bf16 working-copy path; see _abs_sq)."""
+    if g.dtype in (jnp.bfloat16, jnp.float16):
+        return g.astype(jnp.float32)
+    return g
 
 
 def _acc(x):

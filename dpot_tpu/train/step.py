@@ -166,7 +166,7 @@ def make_train_step(
             mb, r = mb_rng
             params = (
                 {**state.params, "batch_stats": stats} if has_stats
-                else state.params
+                else state.working_params
             )
             (_, aux), g = grad_fn(params, state.apply_fn, mb, r)
             new_stats = aux.pop("batch_stats", stats)
@@ -177,7 +177,7 @@ def make_train_step(
                 new_stats,
             ), None
 
-        g0 = jax.tree.map(jnp.zeros_like, state.params)
+        g0 = jax.tree.map(jnp.zeros_like, state.working_params)
         a0 = {
             k: jnp.zeros((), jnp.float32)
             for k in ("loss_step", "loss_full", "cls_loss", "cls_correct")
@@ -197,8 +197,11 @@ def make_train_step(
             loss, aux, grads = _accum_grads(state, batch, step_rng)
         else:
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            # working_params: the bf16 working copy when the state carries
+            # one (fwd/bwd never touch the f32 master; grads arrive bf16
+            # and the optimizers upcast for accumulation — train/state.py)
             (loss, aux), grads = grad_fn(
-                state.params, state.apply_fn, batch, step_rng
+                state.working_params, state.apply_fn, batch, step_rng
             )
         new_state = state.apply_gradients(grads).replace(rng=rng)
         if "batch_stats" in aux:

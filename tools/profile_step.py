@@ -7,7 +7,16 @@ tunneled backend). Used to direct the round-2 perf work (VERDICT item 4).
 
 Usage:  python tools/profile_step.py [preset] [batch] [only]
   only: comma-separated subset of
-        step,fwd,bwd,opt,model,block,blockbwd,afno,mlp,gn,noise,loss
+        step,fwd,bwd,opt,model,block,blockbwd,afno,mlp,gn,noise,loss,
+        stepnn,stepones,bf16p,bf16pbwd,depth0,depth4
+  r4 probes (VERDICT item 2 — attack the fwd+bwd):
+    stepnn/stepones  full-step A/B: noise off / mask elided
+    bf16p/bf16pbwd   model fwd (+bwd) with params PRE-CAST to bf16 — the
+                     delta vs model/bwd is the per-step f32->bf16 param
+                     cast+materialize HBM traffic (the f32 master tree is
+                     ~0.5 GB at M; reading it every fwd costs ~0.6 ms)
+    depth0/depth4    model fwd at depth 0/4 — slope gives the true
+                     in-context per-block cost, intercept the head+tail
 """
 
 import os
@@ -118,6 +127,29 @@ def main():
 
         timeit("full train step", full, state)
 
+    if want("stepnn"):
+        state = TrainState.create(model.apply, params, tx, jax.random.key(1))
+        step_nn = make_train_step(t_bundle=1, noise_scale=0.0, donate=False)
+
+        def full_nn(s):
+            s2, aux = step_nn(s, b)
+            return aux["loss_step"]
+
+        timeit("full step, noise OFF", full_nn, state)
+
+    if want("stepones"):
+        state = TrainState.create(model.apply, params, tx, jax.random.key(1))
+        step_om = make_train_step(
+            t_bundle=1, noise_scale=5e-4, donate=False, ones_mask=True
+        )
+        b_nomsk = {k: v for k, v in b.items() if k != "msk"}
+
+        def full_om(s):
+            s2, aux = step_om(s, b_nomsk)
+            return aux["loss_step"]
+
+        timeit("full step, ones_mask (no msk xfer)", full_om, state)
+
     def _fwd_loss(params):
         pred, cls = model.apply(params, b["x"])
         return rel_lp_loss(pred, b["y"], b["msk"])
@@ -160,6 +192,54 @@ def main():
             return pred
 
         timeit("model fwd", fwd_only, params, probe=lambda o: o[..., 0, 0])
+
+    if want("bf16p") or want("bf16pbwd"):
+        params_bf16 = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32
+            else p,
+            params,
+        )
+        if want("bf16p"):
+
+            @jax.jit
+            def fwd_bf16(pp):
+                pred, _ = model.apply(pp, b["x"])
+                return pred
+
+            timeit(
+                "model fwd (pre-cast bf16 params)", fwd_bf16, params_bf16,
+                probe=lambda o: o[..., 0, 0],
+            )
+        if want("bf16pbwd"):
+
+            @jax.jit
+            def fwd_bwd_bf16(pp):
+                l, g = jax.value_and_grad(
+                    lambda q: _fwd_loss(q).astype(jnp.float32)
+                )(pp)
+                return l + sum(
+                    jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(g)
+                ) * 1e-30
+
+            timeit("fwd+bwd (pre-cast bf16 params)", fwd_bwd_bf16, params_bf16)
+
+    for dname, dd in (("depth0", 0), ("depth4", 4)):
+        if not want(dname):
+            continue
+        m_d = build_model(
+            "DPOT", preset=PRESET, img_size=128, patch_size=8, in_channels=4,
+            in_timesteps=10, out_timesteps=1, modes=32, n_cls=12,
+            dtype=jnp.bfloat16, depth=dd,
+        )
+        p_d = m_d.init(jax.random.key(0), b["x"])
+
+        @jax.jit
+        def fwd_d(pp, _m=m_d):
+            pred, _ = _m.apply(pp, b["x"])
+            return pred
+
+        timeit(f"model fwd depth={dd}", fwd_d, p_d, probe=lambda o: o[..., 0, 0])
 
     # --- pieces at trunk shapes
     D = model.embed_dim
