@@ -270,6 +270,10 @@ LADDER = {
     # fused multi-step dispatch (small models are dispatch-bound)
     "ti8_scan8": lambda: _env_train({"DPOT_BENCH_SCAN": "8"}, "Ti", 8),
     "s8_scan4": lambda: _env_train({"DPOT_BENCH_SCAN": "4"}, "S", 8),
+    # fused dispatch at M — reference-exact numerics, amortizes the
+    # ~2-3 ms/dispatch tunnel host cost that the single-step headline
+    # pays (r4: Ti scan8 measured a 3.3 ms/dispatch gap)
+    "m8_scan4": lambda: _env_train({"DPOT_BENCH_SCAN": "4"}, "M", 8),
     # r4 lever: bf16 working copy of the params (f32 master in the
     # optimizer pass only; fwd/bwd read bf16, grads arrive bf16)
     "m8_bf16p": lambda: _env_train({"DPOT_BENCH_PDTYPE": "bfloat16"}, "M", 8),

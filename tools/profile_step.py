@@ -224,6 +224,37 @@ def main():
 
             timeit("fwd+bwd (pre-cast bf16 params)", fwd_bwd_bf16, params_bf16)
 
+    if want("headtail"):
+        # depth-0 model applied as an AR chain INSIDE one jit — the
+        # device-true head+tail cost. The per-dispatch "model fwd depth=0"
+        # line sits on the host issue floor (~2 ms under load) and
+        # overstates it ~4x (r4: chained 0.5 ms vs dispatched 2.05 ms).
+        m_0 = build_model(
+            "DPOT", preset=PRESET, img_size=128, patch_size=8, in_channels=4,
+            in_timesteps=10, out_timesteps=1, modes=32, n_cls=12,
+            dtype=jnp.bfloat16, depth=0,
+        )
+        p_0 = m_0.init(jax.random.key(0), b["x"])
+
+        @jax.jit
+        def ht_chain(x0):
+            def body(c, _):
+                pred, _cls = m_0.apply(p_0, c)
+                return jnp.concatenate([c[..., 1:, :], pred], axis=-2), None
+
+            out, _ = jax.lax.scan(body, x0, None, length=CHAIN)
+            return out
+
+        for _ in range(WARM):
+            out = ht_chain(b["x"])
+        fetch(out[..., 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = ht_chain(b["x"])
+        fetch(out[..., 0, 0])
+        dt = (time.perf_counter() - t0) / ITERS / CHAIN * 1e3
+        print(f"{'head+tail (depth0, chained)':<40s} {dt:8.3f} ms  (chain of {CHAIN})", flush=True)
+
     for dname, dd in (("depth0", 0), ("depth4", 4)):
         if not want(dname):
             continue
