@@ -118,8 +118,13 @@ def bench_train(preset: str, batch: int, remat: bool = False,
         model.apply, params, tx, training_key(1),
         param_working_dtype=jnp.bfloat16 if pdt == "bfloat16" else None,
     )
+    # DPOT_BENCH_GWIRE=bfloat16: round param-grads to bf16 on the
+    # bwd->optimizer wire (f32 params stay the master; the cast fuses into
+    # the grad-producing matmuls, halving grad write+read HBM traffic)
+    gwire = os.environ.get("DPOT_BENCH_GWIRE", "")
     step = make_train_step(
-        t_bundle=1, noise_scale=5e-4, grad_accum=accum, scan_steps=scan_k
+        t_bundle=1, noise_scale=5e-4, grad_accum=accum, scan_steps=scan_k,
+        grad_wire_dtype=jnp.bfloat16 if gwire == "bfloat16" else None,
     )
     if scan_k > 1:
         b = jax.tree.map(lambda a: jnp.stack([a] * scan_k), b)
@@ -137,6 +142,7 @@ def bench_train(preset: str, batch: int, remat: bool = False,
     tag = "+remat" if remat else ""
     tag += "+bf16mom" if mom == "bfloat16" else ""
     tag += "+bf16p" if pdt == "bfloat16" else ""
+    tag += "+bf16g" if gwire == "bfloat16" else ""
     tag += f"+accum{accum}" if accum > 1 else ""
     tag += f"+scan{scan_k}" if scan_k > 1 else ""
     # per-size estimate where derived (same model+batch, reference-as-
@@ -287,13 +293,20 @@ LADDER = {
         },
         "M", 8,
     ),
+    # r5 lever: bf16 param-grads on the bwd->optimizer wire (f32 params;
+    # the last un-roofline'd HBM stream per PROFILE_r04 — ~0.5 GB of f32
+    # grad write+read at M)
+    "m8_bf16g": lambda: _env_train({"DPOT_BENCH_GWIRE": "bfloat16"}, "M", 8),
     "l4_remat": lambda: bench_train("L", 4, remat=True, iters=10),
     # 1.03B DPOT-H on ONE 16GB chip: donation + remat fit params (4.1GB)
     # + f32 lamb moments (8.2GB) + grads/activations; ~15 steps/s at B=1,
     # ~10.9 at B=4
     "h1_remat": lambda: bench_train("H", 1, remat=True, iters=10),
-    # samples/s-optimal H operating point: sweep (B, accum) with bf16
-    # first moment + remat, report the best (VERDICT r3 item 9)
+    # samples/s-optimal operating points per preset: sweep (B, accum,
+    # scan) with bf16 first moment (+remat for L/H), report the best
+    # (VERDICT r3 item 9 / r4 item 4)
+    "m_best": lambda: bench_m_sweep(),
+    "l_best": lambda: bench_l_sweep(),
     "h_best": lambda: bench_h_sweep(),
     "3d": lambda: bench_train_3d(),
     # native 512^2 training on ONE chip (the reference downscales >128^2
@@ -303,6 +316,9 @@ LADDER = {
     "infer_b8": lambda: bench_inference("M", 8),
     "infer_scan_b1": lambda: bench_inference_scan("M", 1),
     "infer_scan_b8": lambda: bench_inference_scan("M", 8),
+    # full HTTP serving stack latency with p50/p99 (VERDICT r4 item 7)
+    "serve_b1": lambda: bench_serve(batch=1, steps=1),
+    "serve_b1_s20": lambda: bench_serve(batch=1, steps=20, n_req=30),
     # host-side: on-disk HDF5 ingest rate vs the chip's consumption
     # (SURVEY §7 hard part (d); no TPU involved)
     "ingest": lambda: bench_ingest(),
@@ -310,42 +326,147 @@ LADDER = {
 }
 
 
-def bench_h_sweep() -> dict:
-    """DPOT-H (1.03B) samples/s-optimal single-chip operating point:
-    sweep batch x grad-accum under remat + bf16 first moment (the memory
-    levers that let the batch grow), pick the best samples/s. Each combo
-    runs in THIS process sequentially (one TPU client; arena reuse across
-    combos is acceptable at H scale where steps are ~100 ms, not
-    dispatch-bound). OOM/compile failures skip the combo."""
+def bench_best_sweep(preset: str, combos, remat: bool, iters: int) -> dict:
+    """samples/s-optimal single-chip operating point for one preset: sweep
+    (batch, grad-accum, scan_steps) under bf16 first moment (+remat where
+    the preset needs it), pick the best samples/s (VERDICT r4 item 4 — the
+    headline fixates B=8 but the f32 lamb pass is a fixed per-step cost
+    that larger batches amortize). Each combo runs in THIS process
+    sequentially (one TPU client; arena reuse across combos is acceptable
+    for the big presets, which are not dispatch-bound). OOM/compile
+    failures skip the combo."""
     os.environ["DPOT_BENCH_MOM"] = "bfloat16"
     best = None
     tried = []
-    for batch, accum in ((1, 1), (2, 1), (4, 1), (4, 2), (8, 2)):
+    for batch, accum, scan in combos:
         os.environ["DPOT_BENCH_ACCUM"] = str(accum)
+        os.environ["DPOT_BENCH_SCAN"] = str(scan)
         try:
-            r = bench_train("H", batch, remat=True, iters=8)
+            r = bench_train(preset, batch, remat=remat, iters=iters)
         except Exception as e:  # OOM or compile failure: combo infeasible
-            tried.append(f"B={batch},accum={accum}: FAILED {type(e).__name__}")
+            tried.append(
+                f"B={batch},accum={accum},scan={scan}: FAILED {type(e).__name__}"
+            )
             continue
         sps = r["value"] * batch
-        tried.append(f"B={batch},accum={accum}: {r['value']} steps/s = {sps:.1f} samples/s")
+        tried.append(
+            f"B={batch},accum={accum},scan={scan}: "
+            f"{r['value']} steps/s = {sps:.1f} samples/s"
+        )
         if best is None or sps > best[0]:
-            best = (sps, batch, accum, r)
+            best = (sps, batch, accum, scan, r)
     os.environ.pop("DPOT_BENCH_ACCUM", None)
+    os.environ.pop("DPOT_BENCH_SCAN", None)
     if best is None:
-        return {"metric": "DPOT-H sweep: all combos failed", "value": None,
-                "unit": "", "vs_baseline": None, "tried": tried}
-    sps, batch, accum, r = best
+        return {"metric": f"DPOT-{preset} sweep: all combos failed",
+                "value": None, "unit": "", "vs_baseline": None, "tried": tried}
+    sps, batch, accum, scan, r = best
+    # vs_baseline in SAMPLES/s against the same-batch per-size A100 row
+    # where one exists (steps/s ratios are the same thing at equal batch)
+    base = A100_BASELINES.get((preset, batch))
     return {
         "metric": (
-            f"DPOT-H best samples/s config (B={batch}, accum={accum}, "
-            "remat, bf16 mu, 128^2, bf16)"
+            f"DPOT-{preset} best samples/s config (B={batch}, accum={accum}, "
+            f"scan={scan}, {'remat, ' if remat else ''}bf16 mu, 128^2, bf16)"
         ),
         "value": round(sps, 2),
         "unit": "samples/sec",
-        "vs_baseline": None,
+        "vs_baseline": round(sps / (base[1] * batch), 3) if base else None,
         "steps_per_sec": r["value"],
         "tried": tried,
+    }
+
+
+def bench_h_sweep() -> dict:
+    """DPOT-H (1.03B): remat + donation fit it on one 16GB chip; sweep the
+    memory-feasible (B, accum) frontier."""
+    return bench_best_sweep(
+        "H", ((1, 1, 1), (2, 1, 1), (4, 1, 1), (4, 2, 1), (8, 2, 1)),
+        remat=True, iters=8,
+    )
+
+
+def bench_m_sweep() -> dict:
+    """DPOT-M: B=16 amortizes the fixed 4.75 ms f32 lamb pass (r2 measured
+    ~470 samples/s vs 422 at B=8, never revisited with scan4 + bf16-mu)."""
+    return bench_best_sweep(
+        "M", ((8, 1, 4), (16, 1, 1), (16, 1, 4), (32, 1, 1), (32, 2, 1)),
+        remat=False, iters=12,
+    )
+
+
+def bench_l_sweep() -> dict:
+    """DPOT-L (509M) under remat: the r2 ladder only ever ran B=4."""
+    return bench_best_sweep(
+        "L", ((4, 1, 1), (4, 1, 2), (8, 1, 1), (8, 2, 1), (16, 2, 1)),
+        remat=True, iters=8,
+    )
+
+
+def bench_serve(batch: int = 1, steps: int = 1, n_req: int = 60) -> dict:
+    """End-to-end serving latency through the real HTTP stack (VERDICT r4
+    item 7): start serve/server.py on loopback, POST n_req sequential
+    /rollout requests (.npy bodies, B=batch, `steps` model applications
+    each), report p50/p99 wall latency per request. Covers request parse +
+    micro-batcher queue + jitted rollout + device fetch + response — the
+    figure a deployment actually sees (bench_inference* isolate the device
+    kernel). Single in-flight client, so no batching benefit is measured
+    here; /metrics' batch counters are carried in the JSON for context."""
+    import io
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+
+    from dpot_tpu.models import build_model
+    from dpot_tpu.serve import serve
+
+    model = build_model(
+        "DPOT", preset="M", img_size=128, patch_size=8, in_channels=4,
+        in_timesteps=10, out_timesteps=1, modes=32, n_cls=12,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((batch, 128, 128, 10, 4)), jnp.float32)
+    params = model.init(jax.random.key(0), x0)
+    httpd, rs = serve(
+        model, params, port=0, batch_buckets=(batch,), max_wait_ms=0.0,
+    )
+    try:
+        port = httpd.server_address[1]
+        x = np.asarray(rng.standard_normal((batch, 128, 128, 10, 4)), np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        body = buf.getvalue()
+
+        def one() -> float:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/rollout?steps={steps}",
+                data=body, method="POST",
+            )
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(req, timeout=300) as r:
+                r.read()
+            return (time.perf_counter() - t0) * 1e3
+
+        for _ in range(5):  # warm: compile the (bucket, steps) rollout
+            one()
+        lat = sorted(one() for _ in range(n_req))
+        p50 = lat[len(lat) // 2]
+        p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+    finally:
+        httpd.shutdown()
+        rs.stop()
+    return {
+        "metric": (
+            f"DPOT-M serve HTTP rollout latency p50 "
+            f"(B={batch}, steps={steps}, 128^2, bf16)"
+        ),
+        "value": round(p50, 3),
+        "unit": "ms/request",
+        "vs_baseline": None,
+        "p99_ms": round(p99, 3),
+        "mean_ms": round(sum(lat) / len(lat), 3),
     }
 
 
@@ -487,13 +608,26 @@ def main() -> None:
     if os.environ.get("DPOT_BENCH_LADDER"):
         import subprocess
 
+        only = os.environ.get("DPOT_BENCH_ONLY")  # comma-list subset
         for name in LADDER:
+            if only and name not in only.split(","):
+                continue
             env = dict(os.environ, DPOT_BENCH_ENTRY=name)
             env.pop("DPOT_BENCH_LADDER", None)
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True,
-            )
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    capture_output=True, text=True,
+                    timeout=int(os.environ.get("DPOT_BENCH_TIMEOUT", "2400")),
+                )
+            except subprocess.TimeoutExpired:
+                print(
+                    json.dumps({"metric": f"ladder entry {name} TIMEOUT",
+                                "value": None, "unit": "",
+                                "vs_baseline": None}),
+                    flush=True,
+                )
+                continue
             for line in proc.stdout.splitlines():
                 if line.startswith("{"):
                     print(line, flush=True)

@@ -45,6 +45,7 @@ def make_train_step(
     ones_mask: bool = False,
     grad_accum: int = 1,
     scan_steps: int = 1,
+    grad_wire_dtype=None,
 ) -> Callable[[TrainState, dict[str, jax.Array]], tuple[TrainState, dict]]:
     """Build a jitted train step.
 
@@ -81,7 +82,27 @@ def make_train_step(
     `train_masks_are_ones`): the batch then needs NO 'msk' entry and the
     loss runs unmasked — bit-identical result, one fewer H2D transfer
     (the mask is B*H*W*C floats of pure ones otherwise).
+
+    grad_wire_dtype=jnp.bfloat16 rounds the param gradients to bf16 on
+    the wire between bwd and the optimizer (f32 params stay the master;
+    the optimizers upcast for all moment arithmetic). XLA fuses the cast
+    into the grad-producing matmuls, halving the grad write + optimizer
+    grad read traffic (~0.5 GB -> 0.25 GB at DPOT-M). Numerics deviation:
+    one bf16 rounding of each gradient (grads are consumed exactly once;
+    bf16 has ~3 decimal digits, so the update differs at ~1e-3 relative) —
+    opt-in lever only, measured in the bench ladder (m8_bf16g).
     """
+    import jax.numpy as _jnp
+
+    def _round_grads(grads):
+        if grad_wire_dtype is None:
+            return grads
+        return jax.tree.map(
+            lambda g: g.astype(grad_wire_dtype)
+            if hasattr(g, "dtype") and g.dtype == _jnp.float32
+            else g,
+            grads,
+        )
 
     def loss_fn(params, apply_fn, batch, rng):
         x, y, cls = batch["x"], batch["y"], batch["cls"]
@@ -194,7 +215,10 @@ def make_train_step(
     def step_core(state: TrainState, batch) -> tuple[TrainState, dict]:
         rng, step_rng = jax.random.split(state.rng)
         if grad_accum > 1:
+            # cast AFTER the microbatch sum — the scan carry must stay f32
+            # (accumulating in bf16 would compound rounding across N adds)
             loss, aux, grads = _accum_grads(state, batch, step_rng)
+            grads = _round_grads(grads)
         else:
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             # working_params: the bf16 working copy when the state carries
@@ -203,6 +227,7 @@ def make_train_step(
             (loss, aux), grads = grad_fn(
                 state.working_params, state.apply_fn, batch, step_rng
             )
+            grads = _round_grads(grads)
         new_state = state.apply_gradients(grads).replace(rng=rng)
         if "batch_stats" in aux:
             # running stats are state, not weights: overwrite whatever the
@@ -271,6 +296,13 @@ def make_eval_rollout(
         def body(carry, _):
             xc = carry
             im, _ = apply_fn(params, xc)
+            # trace-time config check: a t_bundle that disagrees with the
+            # model's out_timesteps otherwise surfaces as an opaque scan
+            # carry-shape error
+            assert im.shape[-2] == t_bundle, (
+                f"eval rollout t_bundle={t_bundle} but the model emits "
+                f"{im.shape[-2]} frames per application (out_timesteps)"
+            )
             xn = jnp.concatenate([xc[..., t_bundle:, :], im], axis=-2)
             return xn, im
 

@@ -69,26 +69,33 @@ def timeit(name, fn, *args, iters=ITERS, probe=None):
 CHAIN = 50
 
 
-def chain_time(name, op, z0, reps=CHAIN):
+def chain_time(name, op, z0, reps=CHAIN, params=None):
     """Per-application device time of z -> op(z), measured as a length-`reps`
     scan chain inside ONE jit — the only way to see sub-ms kernels through
     the tunnel's ~1-3ms per-dispatch overhead. The chain is data-dependent
-    (each application feeds the next) so nothing is CSE'd or DCE'd."""
+    (each application feeds the next) so nothing is CSE'd or DCE'd.
+
+    When a param tree is involved, pass it via `params` and make `op`
+    binary (op(params, z)): the tree then travels as a jit ARGUMENT.
+    Closing over it would embed it as HLO constants, which can trip the
+    tunnel's remote-compile request limit at the big presets (HTTP 413,
+    CLAUDE.md)."""
 
     @jax.jit
-    def chained(z):
+    def chained(p, z):
         def body(c, _):
-            return op(c).astype(c.dtype), None
+            r = op(p, c) if params is not None else op(c)
+            return r.astype(c.dtype), None
 
         out, _ = jax.lax.scan(body, z, None, length=reps)
         return out
 
     for _ in range(WARM):
-        out = chained(z0)
+        out = chained(params, z0)
     fetch(out)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = chained(z0)
+        out = chained(params, z0)
     fetch(out)
     dt = (time.perf_counter() - t0) / ITERS / reps * 1e3
     print(f"{name:<40s} {dt:8.3f} ms  (chain of {reps})", flush=True)
@@ -235,25 +242,13 @@ def main():
             dtype=jnp.bfloat16, depth=0,
         )
         p_0 = m_0.init(jax.random.key(0), b["x"])
-
-        @jax.jit
-        def ht_chain(x0):
-            def body(c, _):
-                pred, _cls = m_0.apply(p_0, c)
-                return jnp.concatenate([c[..., 1:, :], pred], axis=-2), None
-
-            out, _ = jax.lax.scan(body, x0, None, length=CHAIN)
-            return out
-
-        for _ in range(WARM):
-            out = ht_chain(b["x"])
-        fetch(out[..., 0, 0])
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = ht_chain(b["x"])
-        fetch(out[..., 0, 0])
-        dt = (time.perf_counter() - t0) / ITERS / CHAIN * 1e3
-        print(f"{'head+tail (depth0, chained)':<40s} {dt:8.3f} ms  (chain of {CHAIN})", flush=True)
+        chain_time(
+            "head+tail (depth0, chained)",
+            lambda p, c: jnp.concatenate(
+                [c[..., 1:, :], m_0.apply(p, c)[0]], axis=-2
+            ),
+            b["x"], params=p_0,
+        )
 
     for dname, dd in (("depth0", 0), ("depth4", 4)):
         if not want(dname):
