@@ -107,6 +107,11 @@ def make_train_step(
     def loss_fn(params, apply_fn, batch, rng):
         x, y, cls = batch["x"], batch["y"], batch["cls"]
         msk = None if ones_mask else batch["msk"]
+        # optional EXTERNAL standard-normal draws, stacked (n_steps, *x):
+        # lets parity tests share the exact noise fields with a torch twin
+        # (randn_like and jax.random can never agree draw-for-draw). The
+        # scaling below is identical either way — only eps is substituted.
+        ext_noise = batch.get("noise") if hasattr(batch, "get") else None
         if time_major:
             x = jnp.moveaxis(x, 1, -2)
             y = jnp.moveaxis(y, 1, -2)
@@ -134,9 +139,12 @@ def make_train_step(
                 xnorm = jnp.sqrt(
                     jnp.sum(jnp.square(x), axis=norm_axes, keepdims=True)
                 )
-                x = x + noise_scale * xnorm * jax.random.normal(
-                    nrng, x.shape, x.dtype
+                eps = (
+                    ext_noise[s].astype(x.dtype)
+                    if ext_noise is not None
+                    else jax.random.normal(nrng, x.shape, x.dtype)
                 )
+                x = x + noise_scale * xnorm * eps
             if has_stats:
                 (im, cls_pred), mut = apply_fn(
                     {**params, "batch_stats": stats}, x, train=True,
@@ -174,6 +182,10 @@ def make_train_step(
         B = batch["x"].shape[0]
         assert B % n == 0, (
             f"batch {B} must divide into grad_accum={n} microbatches"
+        )
+        assert "noise" not in batch, (
+            "external noise draws are a parity-test hook; the microbatch "
+            "reshape would mangle their (n_steps, ...) leading axis"
         )
         micro = jax.tree.map(
             lambda a: a.reshape(n, B // n, *a.shape[1:]), batch

@@ -53,9 +53,17 @@ def _load_ref(rel):
     return mod
 
 
-def _batches(n, B=4, seed=0):
+def _batches(n, B=4, seed=0, rand_cls=False, shared_noise=False):
     """Fixed batch sequence: smooth random trajectories, x=first 6 frames,
-    y=next 2 (T_ar=2 exercises the rollout feed-back path)."""
+    y=next 2 (T_ar=2 exercises the rollout feed-back path).
+
+    shared_noise=True attaches pre-drawn standard-normal fields, one per
+    AR rollout step, that BOTH trainers inject (torch randn_like and
+    jax.random can never agree draw-for-draw, so the stochastic branch is
+    pinned under a shared draw — train/step.py batch['noise'] hook).
+    rand_cls=True gives each sample a random dataset label so the cls
+    bookkeeping path (CE computed, argmax accuracy, NOT in the training
+    loss — train_temporal.py:210-226) does real work."""
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(n):
@@ -69,27 +77,37 @@ def _batches(n, B=4, seed=0):
         traj += 0.05 * rng.standard_normal(
             (B, 32, 32, 8, 2)
         ).astype(np.float32)
-        out.append(
-            {
-                "x": traj[..., :6, :],
-                "y": traj[..., 6:8, :],
-                "msk": np.ones((B, 32, 32, 1, 2), np.float32),
-                "cls": np.zeros((B,), np.int64),
-            }
-        )
+        b = {
+            "x": traj[..., :6, :],
+            "y": traj[..., 6:8, :],
+            "msk": np.ones((B, 32, 32, 1, 2), np.float32),
+            "cls": (
+                rng.integers(0, MODEL_KW["n_cls"], size=(B,))
+                if rand_cls else np.zeros((B,))
+            ).astype(np.int64),
+        }
+        if shared_noise:
+            b["noise"] = rng.standard_normal(
+                (2, B, 32, 32, 6, 2)
+            ).astype(np.float32)  # one draw per AR step (T_ar=2)
+        out.append(b)
     return out
 
 
-def _run_reference(opt_name, batches):
-    """train_temporal.py:189-230 semantics in torch-CPU, noise off."""
+def _run_reference(opt_name, batches, model_kw=MODEL_KW, noise_scale=0.0):
+    """train_temporal.py:189-230 semantics in torch-CPU. noise_scale>0
+    reproduces line 205 exactly (per-(sample,channel) L2 over dims
+    (1,2,3), keepdim, gaussian) with the batch's shared draw substituted
+    for randn_like."""
     ref_dpot = _load_ref("models/dpot.py")
     ref_opt = _load_ref("utils/optimizer.py")
     ref_crit = _load_ref("utils/criterion.py")
 
     torch.manual_seed(0)
-    model = ref_dpot.DPOTNet(**MODEL_KW)
+    model = ref_dpot.DPOTNet(**model_kw)
     sd0 = copy.deepcopy(model.state_dict())
     myloss = ref_crit.SimpleLpLoss(size_average=False)
+    clsloss = torch.nn.CrossEntropyLoss(reduction="sum")
     if opt_name == "lamb":
         opt = ref_opt.Lamb(
             model.parameters(), lr=LR, betas=(0.9, 0.999), adam=True,
@@ -104,16 +122,26 @@ def _run_reference(opt_name, batches):
         pct_start=WARMUP / EPOCHS, steps_per_epoch=STEPS_PER_EPOCH,
         epochs=EPOCHS,
     )
-    losses = []
+    losses, cls_losses = [], []
     for b in batches:
         xx = torch.from_numpy(b["x"])
         yy = torch.from_numpy(b["y"])
         msk = torch.from_numpy(b["msk"])
+        cls = torch.from_numpy(b["cls"])
         loss = 0.0
-        for t in range(0, yy.shape[-2], T_BUNDLE):
+        cls_loss = 0.0
+        for s, t in enumerate(range(0, yy.shape[-2], T_BUNDLE)):
             y = yy[..., t : t + T_BUNDLE, :]
-            im, _ = model(xx)
+            if noise_scale > 0.0:
+                eps = torch.from_numpy(b["noise"][s])
+                xx = xx + noise_scale * torch.sum(
+                    xx**2, dim=(1, 2, 3), keepdim=True
+                ) ** 0.5 * eps
+            im, cls_pred = model(xx)
             loss = loss + myloss(im, y, mask=msk)
+            # computed for metrics, NOT added to the training loss
+            # (train_temporal.py:226: total_loss = loss  # + 1.0*cls_loss)
+            cls_loss = cls_loss + clsloss(cls_pred, cls.squeeze())
             xx = torch.cat((xx[..., T_BUNDLE:, :], im), dim=-2)
         opt.zero_grad()
         loss.backward()
@@ -121,10 +149,11 @@ def _run_reference(opt_name, batches):
         opt.step()
         sched.step()
         losses.append(float(loss.item()))
-    return sd0, np.array(losses)
+        cls_losses.append(float(cls_loss.item()))
+    return sd0, np.array(losses), np.array(cls_losses)
 
 
-def _run_ours(opt_name, sd0, batches):
+def _run_ours(opt_name, sd0, batches, model_kw=MODEL_KW, noise_scale=0.0):
     from dpot_tpu.models.dpot import DPOTNet
     from dpot_tpu.train.interop import dpot_params_from_torch
     from dpot_tpu.train.optimizers import build_optimizer
@@ -132,10 +161,14 @@ def _run_ours(opt_name, sd0, batches):
     from dpot_tpu.train.state import TrainState
     from dpot_tpu.train.step import make_train_step
 
-    model = DPOTNet(**MODEL_KW)
+    model = DPOTNet(**model_kw)
     params = jax.tree.map(
         jnp.asarray,
-        dpot_params_from_torch(sd0, depth=MODEL_KW["depth"]),
+        dpot_params_from_torch(
+            sd0,
+            depth=model_kw["depth"],
+            normalize=model_kw.get("normalize", False),
+        ),
     )
     total = STEPS_PER_EPOCH * EPOCHS
     sched = build_schedule(
@@ -146,38 +179,85 @@ def _run_ours(opt_name, sd0, batches):
         opt_name, sched, beta1, 0.999, grad_clip=GRAD_CLIP
     )
     state = TrainState.create(model.apply, params, tx, jax.random.key(0))
-    step = make_train_step(t_bundle=T_BUNDLE, noise_scale=0.0, donate=False)
-    losses = []
+    step = make_train_step(
+        t_bundle=T_BUNDLE, noise_scale=noise_scale, donate=False
+    )
+    losses, cls_losses = [], []
     for b in batches:
-        state, aux = step(
-            state,
-            {
-                "x": jnp.asarray(b["x"]),
-                "y": jnp.asarray(b["y"]),
-                "msk": jnp.asarray(b["msk"]),
-                "cls": jnp.asarray(b["cls"], jnp.int32),
-            },
-        )
+        jb = {
+            "x": jnp.asarray(b["x"]),
+            "y": jnp.asarray(b["y"]),
+            "msk": jnp.asarray(b["msk"]),
+            "cls": jnp.asarray(b["cls"], jnp.int32),
+        }
+        if noise_scale > 0.0:
+            jb["noise"] = jnp.asarray(b["noise"])  # the shared draw
+        state, aux = step(state, jb)
         losses.append(float(aux["loss_step"]))
-    return np.array(losses)
+        cls_losses.append(float(aux["cls_loss"]))
+    return np.array(losses), np.array(cls_losses)
 
 
-@pytest.mark.parametrize("opt_name", ["adam", "lamb"])
-def test_training_dynamics_match_reference(opt_name):
-    batches = _batches(N_STEPS)
-    sd0, ref_losses = _run_reference(opt_name, batches)
-    our_losses = _run_ours(opt_name, sd0, batches)
+def _compare(name, ref_losses, our_losses, tol):
     rel = np.abs(our_losses - ref_losses) / np.abs(ref_losses)
     print(
-        f"\n{opt_name}: step0 ref={ref_losses[0]:.6f} ours={our_losses[0]:.6f}"
-        f" | step{N_STEPS-1} ref={ref_losses[-1]:.6f} "
+        f"\n{name}: step0 ref={ref_losses[0]:.6f} ours={our_losses[0]:.6f}"
+        f" | step{len(ref_losses)-1} ref={ref_losses[-1]:.6f} "
         f"ours={our_losses[-1]:.6f} | max rel dev {rel.max():.2e} "
         f"(final {rel[-1]:.2e})"
     )
     # training must actually move (the curves can't agree by standing still)
     assert ref_losses[-1] < 0.8 * ref_losses[0], ref_losses
+    assert rel.max() < tol, rel
+    return rel
+
+
+@pytest.mark.parametrize("opt_name", ["adam", "lamb"])
+def test_training_dynamics_match_reference(opt_name):
+    batches = _batches(N_STEPS)
+    sd0, ref_losses, _ = _run_reference(opt_name, batches)
+    our_losses, _ = _run_ours(opt_name, sd0, batches)
     # measured on CPU: max rel dev 3.8e-6 (adam) / 5.9e-7 (lamb) over all
     # 50 steps — the dynamics are numerically faithful, not just close.
     # 1e-4 leaves room for BLAS/platform variation while still failing on
     # any real semantic drift (a constant-0.9 beta1 alone measures 2.4e-2)
-    assert rel.max() < 1e-4, rel
+    _compare(opt_name, ref_losses, our_losses, 1e-4)
+
+
+def test_training_dynamics_noise_injection():
+    """The stochastic branch (train_temporal.py:205): gaussian noise scaled
+    by the per-(sample,channel) input norm, injected EVERY rollout step and
+    carried into the slid window. Pinned under a shared pre-drawn noise
+    field on both sides (deterministic once the draw is shared)."""
+    batches = _batches(N_STEPS, shared_noise=True)
+    sd0, ref_losses, _ = _run_reference("adam", batches, noise_scale=5e-3)
+    our_losses, _ = _run_ours("adam", sd0, batches, noise_scale=5e-3)
+    _compare("adam+noise", ref_losses, our_losses, 1e-4)
+
+
+def test_training_dynamics_normalize_adain():
+    """The normalize=True branch: reversible instance norm on the input +
+    AdaIN feature modulation (models/dpot.py:298-300,366-371,386-387,
+    400-401) — trains scale_feats_mu/sigma, a parameter subtree the
+    default-config test never touches."""
+    kw = dict(MODEL_KW, normalize=True)
+    batches = _batches(N_STEPS)
+    sd0, ref_losses, _ = _run_reference("adam", batches, model_kw=kw)
+    our_losses, _ = _run_ours("adam", sd0, batches, model_kw=kw)
+    _compare("adam+normalize", ref_losses, our_losses, 1e-4)
+
+
+def test_training_dynamics_cls_bookkeeping():
+    """The classifier side-channel (train_temporal.py:210-226): CE loss is
+    computed per rollout step with reduction='sum' but NOT added to the
+    training loss. With random labels, the main-loss curves can only agree
+    if neither side trains on cls_loss, and the cls_loss curves can only
+    agree if the (untrained-by-it) cls head evolves identically under the
+    main objective."""
+    batches = _batches(N_STEPS, rand_cls=True)
+    sd0, ref_losses, ref_cls = _run_reference("lamb", batches)
+    our_losses, our_cls = _run_ours("lamb", sd0, batches)
+    _compare("lamb+cls", ref_losses, our_losses, 1e-4)
+    cls_rel = np.abs(our_cls - ref_cls) / np.abs(ref_cls)
+    print(f"cls_loss max rel dev {cls_rel.max():.2e}")
+    assert cls_rel.max() < 1e-4, cls_rel
