@@ -382,6 +382,60 @@ class MixedTemporalDataset:
             out_msk[...] = 1.0
         return np.int32(dataset_idx)
 
+    def fetch_many_into(
+        self, batch_ids, words, out_x, out_y, out_msk
+    ) -> Optional[np.ndarray]:
+        """Whole-batch assembly in ONE GIL-released native call
+        (native/preprocess.cc assemble_windows_*): every item of a
+        time-major batch is one contiguous f32 range of its trajectory
+        memmap — x window immediately followed by the y window — so the
+        per-item Python layer (fetch_into dispatch, two np.copyto passes,
+        slot bookkeeping) collapses to collecting B source addresses.
+        Returns the per-item cls array, or None when any item is
+        ineligible (non-time-major, h5py fallback, masked variant) — the
+        loader then runs its per-item path. Semantics are identical to
+        fetch_into item-by-item (same window draw, same bf16 rounding —
+        the native f32->bf16 is bit-exact with np.copyto's, pinned in
+        tests/test_native_preprocess.py)."""
+        if not self.time_major_batches:
+            return None
+        n = len(batch_ids)
+        ptrs = np.empty(n, np.uint64)
+        cls = np.empty(n, np.int32)
+        views = []  # pin every source mapping alive across the call
+        frame = None
+        for j in range(n):
+            d, data_idx = self.locate(int(batch_ids[j]))
+            if not self._fast_ok[d]:
+                return None
+            start = _draw_start(words[j], self._win_his[d])
+            win = slice(start, start + self.t_in + self.t_ar)
+            sample = self.readers[d](data_idx, tsel=win, copy=False)
+            if not (
+                isinstance(sample, np.ndarray)
+                and sample.dtype == np.float32
+                and sample.flags.c_contiguous
+            ):
+                return None  # h5py fallback or foreign dtype: per-item path
+            if frame is None:
+                frame = sample.shape[1:]
+            views.append(sample)
+            ptrs[j] = sample.ctypes.data
+            cls[j] = d
+        if frame is None or (
+            tuple(out_x.shape[1:]) != (self.t_in, *frame)
+            or tuple(out_y.shape[1:]) != (self.t_ar, *frame)
+        ):
+            return None
+        from dpot_tpu.native.preprocess import assemble_windows
+
+        if not assemble_windows(ptrs, out_x, out_y):
+            return None
+        if out_msk is not None:
+            out_msk[...] = 1.0
+        del views
+        return cls
+
 
 class MixedMaskedDataset(MixedTemporalDataset):
     """Masked-prediction variant (reference utils/griddataset.py:182-336):

@@ -83,6 +83,7 @@ class DataLoader:
         gil_interval: Optional[float] = 0.0001,
         x_dtype=None,
         y_dtype=None,
+        slot_ring: int = 0,
     ):
         """batch_size is the GLOBAL batch size. With num_shards > 1
         (multi-host: one process per host), every host walks the same
@@ -108,7 +109,20 @@ class DataLoader:
         rides the ONE assembly copy (np.copyto converts in-pass) instead
         of the train loop's separate astype pass over the same bytes on
         the same core. Only fast-path batches (declared fast_item_shapes)
-        convert here; the loop's conditional cast covers the rest."""
+        convert here; the loop's conditional cast covers the rest.
+
+        slot_ring: OPT-IN recycled batch buffers for the fetch_into fast
+        path. A fresh np.empty pair per batch costs ~0.9 ms of arena/page
+        work at the pretraining shape (measured ~25% of loader throughput
+        on this 1-core host); with slot_ring=K the loader cycles through a
+        fixed pool of prefetch+1+K slot sets instead. A yielded batch's
+        buffers are REUSED once K further batches have been yielded — the
+        consumer must be done with batch i (including any in-flight
+        jax.device_put reading from it) by the time it has pulled K more.
+        The train loop's one-step-lagged metric fetch makes K=2 a real
+        fence there (fetching step i's loss proves batch i's transfer
+        completed); other consumers must hold no references that long or
+        leave this off (0 = fresh buffers every batch, the safe default)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -121,6 +135,8 @@ class DataLoader:
         self.gil_interval = gil_interval
         self.x_dtype = np.dtype(x_dtype) if x_dtype is not None else np.float32
         self.y_dtype = np.dtype(y_dtype) if y_dtype is not None else np.float32
+        self.slot_ring = int(slot_ring)
+        self._ring_sets: list = []  # persistent slot pool (built once)
         self._epoch = 0
         _tune_malloc()
         if self.num_shards > 1 and batch_size % self.num_shards != 0:
@@ -232,20 +248,74 @@ class DataLoader:
         elide_msk = bool(getattr(self.dataset, "train_masks_are_ones", False))
         shared_msk: list = []  # [ones array of (batch_size, *msk_shape)]
 
+        # recycled slot pool (see slot_ring in __init__): the arrays are
+        # allocated ONCE per DataLoader (first epoch that knows the
+        # shapes) and live on self — reallocating ~130 MB of slots every
+        # epoch measurably thrashes the arena. Each epoch starts with
+        # every set free: the end-of-epoch join below guarantees no
+        # producer is still writing into one.
+        ring_free: queue.Queue = queue.Queue()
+
+        def _take_ring_set():
+            if not self._ring_sets:
+                for _ in range(self.prefetch + 1 + self.slot_ring):
+                    self._ring_sets.append((
+                        np.empty(
+                            (self.batch_size, *slot_shapes[0]), self.x_dtype
+                        ),
+                        np.empty(
+                            (self.batch_size, *slot_shapes[1]), self.y_dtype
+                        ),
+                        None if elide_msk else np.empty(
+                            (self.batch_size, *slot_shapes[2]), np.float32
+                        ),
+                    ))
+                for st in self._ring_sets:
+                    ring_free.put(st)
+            while not stop.is_set():
+                try:
+                    return ring_free.get(timeout=0.2)
+                except queue.Empty:
+                    continue
+            return None
+
+        if self.slot_ring > 0 and self._ring_sets:
+            for st in self._ring_sets:
+                ring_free.put(st)
+
         def fetch_batch_into(pool, batch_ids, base):
             n = len(batch_ids)
-            x = np.empty((n, *slot_shapes[0]), self.x_dtype)
-            y = np.empty((n, *slot_shapes[1]), self.y_dtype)
+            slotset = None
+            if self.slot_ring > 0:
+                slotset = _take_ring_set()
+                if slotset is None:  # consumer abandoned the epoch
+                    return None, None
+                x, y = slotset[0][:n], slotset[1][:n]
+            else:
+                x = np.empty((n, *slot_shapes[0]), self.x_dtype)
+                y = np.empty((n, *slot_shapes[1]), self.y_dtype)
             if elide_msk:
                 if not shared_msk:
                     shared_msk.append(
                         np.ones((self.batch_size, *slot_shapes[2]), np.float32)
                     )
                 msk = shared_msk[0][:n]
+            elif slotset is not None:
+                msk = slotset[2][:n]
             else:
                 msk = np.empty((n, *slot_shapes[2]), np.float32)
             cls = np.empty((n,), np.int32)
             words = _window_words(*rng_key, base, n)
+            # whole-batch native assembly (one GIL-released memcpy/convert
+            # call for all B windows — grid_dataset.fetch_many_into) when
+            # the dataset offers it; per-item fetch_into otherwise
+            many = getattr(self.dataset, "fetch_many_into", None)
+            if many is not None:
+                got = many(batch_ids, words, x, y,
+                           None if elide_msk else msk)
+                if got is not None:
+                    cls[:] = got
+                    return (x, y, msk, cls), slotset
             fetch = self.dataset.fetch_into  # hoisted: this loop IS the
             # ingest hot path (~660 us/item budget at the Ti bar)
 
@@ -268,7 +338,7 @@ class DataLoader:
                     )
 
                 list(pool.map(one, enumerate(batch_ids)))
-            return x, y, msk, cls
+            return (x, y, msk, cls), slotset
 
         def fetch_batch(pool, batch_ids, base):
             if slot_shapes:
@@ -287,10 +357,37 @@ class DataLoader:
                 )
             ):
                 slot_shapes.extend(a.shape[1:] for a in out[:3])
-            return out
+            return out, None
+
+        stop = threading.Event()
+
+        if self.prefetch == 0:
+            # INLINE mode: no producer thread, no queue. On a 1-core host
+            # the threaded handoff costs ~1.3 ms/batch of GIL/condition
+            # wake-ups (measured ~630 samples/s at the Ti pretraining
+            # shape) and buys nothing — host/device overlap comes from
+            # jax's async dispatch (the load for batch i+1 runs while the
+            # device crunches step i), not from a loader thread. With
+            # slot_ring, sets recycle through the same lag-K contract.
+            from collections import deque
+
+            held_i: deque = deque()
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for gbase, b in pairs:
+                        batch, slotset = fetch_batch(pool, b, gbase)
+                        if batch is None:
+                            return
+                        if slotset is not None:
+                            held_i.append(slotset)
+                            if len(held_i) > self.slot_ring:
+                                ring_free.put(held_i.popleft())
+                        yield batch
+            finally:
+                stop.set()
+            return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
 
         def put(item) -> bool:
             # bounded put that observes `stop`: a consumer that abandons
@@ -311,7 +408,10 @@ class DataLoader:
                     for gbase, b in pairs:
                         if stop.is_set():
                             return
-                        if not put(fetch_batch(pool, b, gbase)):
+                        batch, slotset = fetch_batch(pool, b, gbase)
+                        if batch is None:  # ring drained after a stop
+                            return
+                        if not put((batch, slotset)):
                             return
                 put(None)
             except BaseException as e:  # noqa: BLE001 — re-raised below
@@ -327,6 +427,9 @@ class DataLoader:
         if self.gil_interval is not None:
             old_interval = sys.getswitchinterval()
             sys.setswitchinterval(self.gil_interval)
+        from collections import deque
+
+        held: deque = deque()  # yielded ring sets not yet recyclable
         try:
             while True:
                 item = q.get()
@@ -334,8 +437,20 @@ class DataLoader:
                     return
                 if isinstance(item, BaseException):
                     raise item
-                yield item
+                batch, slotset = item
+                if slotset is not None:
+                    # recycle the set yielded slot_ring batches ago: the
+                    # consumer contract (see __init__) says it is done
+                    # with that batch by now
+                    held.append(slotset)
+                    if len(held) > self.slot_ring:
+                        ring_free.put(held.popleft())
+                yield batch
         finally:
             stop.set()
+            if self.slot_ring > 0:
+                # the pool is reused next epoch: wait out a producer that
+                # may still be writing into a set (early break / error)
+                t.join(timeout=10.0)
             if old_interval is not None:
                 sys.setswitchinterval(old_interval)

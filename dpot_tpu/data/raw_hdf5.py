@@ -92,11 +92,12 @@ class RawScatterReader:
             self._time_major = is_time_major(self._path(0), self.field)
         return self._time_major
 
-    def read(self, idx: int, tsel=None, copy: bool = True) -> np.ndarray:
-        """copy=False may return a memmap-backed VIEW (zero-copy — the
-        caller copies straight into its destination, e.g. a batch slot);
-        it is only a view on the raw fast path, so callers must not
-        mutate the result."""
+    def raw_mm(self, idx: int) -> Optional[np.memmap]:
+        """The full trajectory memmap for file idx (cached), or None when
+        the corpus can't be raw-read (chunked/compressed/foreign layout —
+        the h5py fallback applies). Used directly by the loader's batched
+        native assembly (grid_dataset.fetch_many_into), which needs the
+        base mapping to compute raw window addresses."""
         if self._layout == -1:
             # one probe, atomically: concurrent first reads from the
             # loader's pool must not capture _layout from one file and
@@ -109,34 +110,43 @@ class RawScatterReader:
                     if lay is not None:
                         self._probe_size = os.path.getsize(self._path(idx))
                     self._layout = lay
-        tmaj = self.time_major
         lay = self._layout
-        if lay is not None:
-            m = self._mm_cache.get(idx)
-            if m is None:
-                path = self._path(idx)
-                off, shape, dtype = lay
-                nbytes = int(np.prod(shape)) * dtype.itemsize
-                # size check (once per file, then the mapping is cached):
-                # the probed file's own header gave (off, shape); any
-                # sibling file of EXACTLY the probed byte size was written
-                # identically (same writer, same shape) and is safe to
-                # memmap with that layout. A different size (foreign
-                # writer, shorter trajectory, variable shapes) takes the
-                # h5py path.
-                if (
-                    self._probe_size >= off + nbytes
-                    and os.path.getsize(path) == self._probe_size
-                ):
-                    m = np.memmap(path, dtype=dtype, mode="r", offset=off,
-                                  shape=shape)
-                    with self._probe_lock:
-                        if len(self._mm_cache) >= self._mm_cap:
-                            self._mm_cache.pop(next(iter(self._mm_cache)))
-                        self._mm_cache[idx] = m
-            if m is not None:
-                w = _window(m, tsel, tmaj, self.n_spatial)
-                return w if not copy else np.array(w)
+        if lay is None:
+            return None
+        m = self._mm_cache.get(idx)
+        if m is None:
+            path = self._path(idx)
+            off, shape, dtype = lay
+            nbytes = int(np.prod(shape)) * dtype.itemsize
+            # size check (once per file, then the mapping is cached):
+            # the probed file's own header gave (off, shape); any
+            # sibling file of EXACTLY the probed byte size was written
+            # identically (same writer, same shape) and is safe to
+            # memmap with that layout. A different size (foreign
+            # writer, shorter trajectory, variable shapes) takes the
+            # h5py path.
+            if (
+                self._probe_size >= off + nbytes
+                and os.path.getsize(path) == self._probe_size
+            ):
+                m = np.memmap(path, dtype=dtype, mode="r", offset=off,
+                              shape=shape)
+                with self._probe_lock:
+                    if len(self._mm_cache) >= self._mm_cap:
+                        self._mm_cache.pop(next(iter(self._mm_cache)))
+                    self._mm_cache[idx] = m
+        return m
+
+    def read(self, idx: int, tsel=None, copy: bool = True) -> np.ndarray:
+        """copy=False may return a memmap-backed VIEW (zero-copy — the
+        caller copies straight into its destination, e.g. a batch slot);
+        it is only a view on the raw fast path, so callers must not
+        mutate the result."""
+        tmaj = self.time_major
+        m = self.raw_mm(idx)
+        if m is not None:
+            w = _window(m, tsel, tmaj, self.n_spatial)
+            return w if not copy else np.array(w)
         path = self._path(idx)
         import h5py
 

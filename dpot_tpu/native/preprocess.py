@@ -96,3 +96,48 @@ def resize_trilinear_3d(x: np.ndarray, out_size: tuple[int, int, int]) -> np.nda
         out_size[2], _threads(),
     )
     return out
+
+
+def assemble_windows(
+    src_ptrs: np.ndarray, out_x: np.ndarray, out_y: np.ndarray
+) -> bool:
+    """Batched contiguous-window assembly (the ingest fast path's fast
+    path; native/preprocess.cc assemble_windows_*): src_ptrs is a uint64
+    array of per-item f32 source addresses, each pointing at
+    x_elems-then-y_elems contiguous floats of a pinned-alive trajectory
+    memmap; rows of out_x/out_y ((B, ...) C-contiguous, float32 or
+    ml_dtypes bfloat16) are filled in ONE GIL-released call. Returns False
+    when the native library is unavailable or the dtype is unsupported —
+    the caller (data/loader.py) falls back to the per-item path.
+
+    CALLER CONTRACT: the arrays backing src_ptrs must stay referenced for
+    the duration of the call, and each pointer must have x_elems + y_elems
+    readable floats."""
+    lib = get_library()
+    if lib is None:
+        return False
+    n = len(src_ptrs)
+    if n == 0:
+        return True
+    x_elems = int(np.prod(out_x.shape[1:]))
+    y_elems = int(np.prod(out_y.shape[1:]))
+    assert out_x.flags.c_contiguous and out_y.flags.c_contiguous
+    assert src_ptrs.dtype == np.uint64 and out_x.dtype == out_y.dtype
+    pp = src_ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p))
+    if out_x.dtype == np.float32:
+        lib.assemble_windows_f32(
+            pp, _ptr(out_x), _ptr(out_y), n, x_elems, y_elems, _threads()
+        )
+        return True
+    if out_x.dtype.itemsize == 2 and out_x.dtype.kind == "V" or (
+        out_x.dtype.name == "bfloat16"
+    ):
+        u16 = ctypes.POINTER(ctypes.c_uint16)
+        lib.assemble_windows_bf16(
+            pp,
+            out_x.ctypes.data_as(u16),
+            out_y.ctypes.data_as(u16),
+            n, x_elems, y_elems, _threads(),
+        )
+        return True
+    return False

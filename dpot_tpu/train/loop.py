@@ -135,9 +135,17 @@ def build_everything(cfg: TrainConfig, mesh=None, init_params=None):
     # host-side (a free numpy view) and fuses the K steps into one device
     # dispatch (train/step.py scan_steps)
     K = max(cfg.steps_per_dispatch, 1)
+    # loader architecture (see utils/config.py loader_prefetch): inline +
+    # recycled slots on 1-worker hosts, threaded prefetch otherwise
+    lp, lr = cfg.loader_prefetch, cfg.loader_slot_ring
+    if lp < 0:
+        lp = 0 if cfg.num_workers <= 1 else 8
+    if lr < 0:
+        lr = 2
     train_dl = DataLoader(
         train_ds, cfg.batch_size * K, shuffle=True,
-        num_workers=cfg.num_workers, seed=cfg.seed, **shard_kw,
+        num_workers=cfg.num_workers, seed=cfg.seed, prefetch=lp,
+        slot_ring=lr, **shard_kw,
     )
     test_dls = [
         DataLoader(ds, cfg.batch_size, shuffle=False,

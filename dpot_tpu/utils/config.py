@@ -108,6 +108,14 @@ class TrainConfig:
     # runtime
     seed: int = 0
     num_workers: int = 8
+    # loader architecture (-1 = auto). On a 1-core host the producer
+    # thread's GIL/condition handoffs cost ~1.3 ms/batch, so auto picks
+    # INLINE loading (prefetch=0 — jax's async dispatch already overlaps
+    # the next load with device compute) plus recycled batch buffers
+    # (slot_ring=2: safe under the loop's one-step-lagged metric fetch,
+    # see data/loader.py). Multi-worker hosts keep the threaded loader.
+    loader_prefetch: int = -1
+    loader_slot_ring: int = -1
     n_channels: int = 4  # model input channels when no dataset infers them
                          # (serve CLI; training derives it from the mixture)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16

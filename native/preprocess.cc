@@ -166,4 +166,104 @@ void resize_trilinear_3d(const float* in, float* out, int64_t H, int64_t W,
   });
 }
 
+// Batched window assembly (the ingest fast path's fast path): each item j
+// is ONE contiguous f32 range of a time-major trajectory memmap
+// (data/raw_hdf5.py) holding x_elems input elements immediately followed
+// by y_elems target elements; copy them into row j of the x / y batch
+// slots. Called once per BATCH through ctypes (GIL released), replacing a
+// per-item Python loop of fetch_into -> _copy_exact -> np.copyto — the
+// residual interpreter cost between the measured ~1700 samples/s loader
+// and the ~3900/s single-core memcpy roofline (VERDICT r4 item 2).
+void assemble_windows_f32(const float* const* srcs, float* x, float* y,
+                          int64_t n, int64_t x_elems, int64_t y_elems,
+                          int n_threads) {
+  for_rows(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t j = lo; j < hi; ++j) {
+      std::memcpy(x + j * x_elems, srcs[j], x_elems * sizeof(float));
+      std::memcpy(y + j * y_elems, srcs[j] + x_elems,
+                  y_elems * sizeof(float));
+    }
+  });
+}
+
+namespace {
+
+// f32 -> bf16 with round-to-nearest-even, bit-exact with ml_dtypes /
+// Eigen (what np.copyto into a bfloat16 slot does today — the wire-dtype
+// fold, CLAUDE.md r4): NaN quietened, everything else u += 0x7FFF + lsb.
+// Equality with the numpy conversion is pinned in
+// tests/test_native_preprocess.py over specials and random fields.
+inline uint16_t f32_to_bf16(float f) {
+  uint32_t u;
+  std::memcpy(&u, &f, sizeof(u));
+  // branchless select so -O3 can vectorize the conversion loop (the
+  // taken-branch form measurably serializes it): rounded value for
+  // finite/inf, quietened high half for NaN.
+  const uint16_t rounded =
+      static_cast<uint16_t>((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+  const uint16_t quiet_nan = static_cast<uint16_t>((u >> 16) | 0x0040u);
+  return ((u & 0x7FFFFFFFu) > 0x7F800000u) ? quiet_nan : rounded;
+}
+
+inline void copy_bf16_scalar(uint16_t* dst, const float* src, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) dst[i] = f32_to_bf16(src[i]);
+}
+
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+// AVX-512 integer-form RNE (same math as f32_to_bf16 lane-wise — NOT
+// vcvtneps2bf16, whose forced-DAZ handling of denormal f32 inputs would
+// break bit-exactness with ml_dtypes) with NON-TEMPORAL stores: the
+// output rows exceed L2, so streaming them skips the read-for-ownership
+// pass — ~25% of the assembly's memory traffic at the pretraining shape.
+inline void copy_bf16(uint16_t* dst, const float* src, int64_t n) {
+  int64_t i = 0;
+  // scalar head until the destination is 32B-aligned (stream requires it)
+  while (i < n && (reinterpret_cast<uintptr_t>(dst + i) & 31u) != 0) {
+    dst[i] = f32_to_bf16(src[i]);
+    ++i;
+  }
+  const __m512i bias = _mm512_set1_epi32(0x7FFF);
+  const __m512i one = _mm512_set1_epi32(1);
+  const __m512i quiet = _mm512_set1_epi32(0x0040);
+  const __m512i absm = _mm512_set1_epi32(0x7FFFFFFF);
+  const __m512i inf = _mm512_set1_epi32(0x7F800000);
+  for (; i + 16 <= n; i += 16) {
+    const __m512i u = _mm512_loadu_si512(src + i);
+    const __m512i lsb =
+        _mm512_and_si512(_mm512_srli_epi32(u, 16), one);
+    __m512i r = _mm512_srli_epi32(
+        _mm512_add_epi32(u, _mm512_add_epi32(bias, lsb)), 16);
+    const __m512i q =
+        _mm512_or_si512(_mm512_srli_epi32(u, 16), quiet);
+    const __mmask16 nan =
+        _mm512_cmpgt_epu32_mask(_mm512_and_si512(u, absm), inf);
+    r = _mm512_mask_mov_epi32(r, nan, q);
+    _mm256_stream_si256(reinterpret_cast<__m256i*>(dst + i),
+                        _mm512_cvtepi32_epi16(r));
+  }
+  for (; i < n; ++i) dst[i] = f32_to_bf16(src[i]);
+  _mm_sfence();
+}
+#else
+inline void copy_bf16(uint16_t* dst, const float* src, int64_t n) {
+  copy_bf16_scalar(dst, src, n);
+}
+#endif
+
+}  // namespace
+
+// As assemble_windows_f32, but converting into bf16 batch slots (the
+// train wire format): the dtype cast rides the one assembly pass.
+void assemble_windows_bf16(const float* const* srcs, uint16_t* x,
+                           uint16_t* y, int64_t n, int64_t x_elems,
+                           int64_t y_elems, int n_threads) {
+  for_rows(n, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t j = lo; j < hi; ++j) {
+      copy_bf16(x + j * x_elems, srcs[j], x_elems);
+      copy_bf16(y + j * y_elems, srcs[j] + x_elems, y_elems);
+    }
+  });
+}
+
 }  // extern "C"

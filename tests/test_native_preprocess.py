@@ -89,3 +89,61 @@ def test_pad_data_2d_rejects_channel_truncation():
         pad_data_2d(x, 16, 4)  # resize path
     with pytest.raises(ValueError, match="channels"):
         pad_data_2d(x, 8, 4)  # identity path
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_assemble_windows_f32_exact():
+    """Batched window assembly (native/preprocess.cc assemble_windows_f32)
+    is a bit-exact memcpy: item j's x/y rows reproduce the source range
+    [0, x_elems) / [x_elems, x_elems+y_elems)."""
+    from dpot_tpu.native.preprocess import assemble_windows
+
+    rng = np.random.default_rng(0)
+    xe, ye, n = 1003, 117, 5
+    srcs = [
+        np.ascontiguousarray(rng.standard_normal(xe + ye), np.float32)
+        for _ in range(n)
+    ]
+    ptrs = np.array([s.ctypes.data for s in srcs], np.uint64)
+    x = np.empty((n, xe), np.float32)
+    y = np.empty((n, ye), np.float32)
+    assert assemble_windows(ptrs, x, y)
+    for j, s in enumerate(srcs):
+        np.testing.assert_array_equal(x[j], s[:xe])
+        np.testing.assert_array_equal(y[j], s[xe:])
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_assemble_windows_bf16_bit_exact_with_ml_dtypes():
+    """The native f32->bf16 conversion (AVX-512 RNE + NT stores where
+    available) must be BIT-exact with numpy/ml_dtypes casting — the wire
+    fold otherwise changes train numerics vs the generic loader path.
+    Covers specials (inf/NaN quietening), f32 denormals that round to
+    bf16 denormals (the case vcvtneps2bf16's forced DAZ would break),
+    and 32B-misaligned destination rows (scalar head/tail)."""
+    import ml_dtypes
+
+    from dpot_tpu.native.preprocess import assemble_windows
+
+    rng = np.random.default_rng(1)
+    vals = np.concatenate([
+        (rng.standard_normal(100003).astype(np.float32)
+         * np.float32(10.0) ** rng.uniform(-44, 38, 100003).astype(np.float32)),
+        np.array([0.0, -0.0, np.inf, -np.inf, np.nan, -np.nan,
+                  1e-45, -1e-45, 1e-39, -1e-39, 5e-41,
+                  3.3895314e38, 65504.0, 1.0000001, 0.99999994], np.float32),
+    ])
+    ref = vals.astype(ml_dtypes.bfloat16).view(np.uint16)
+    # odd row length => row 1+ starts 32B-misaligned: exercises head/tail
+    for xe in (len(vals), 4097):
+        v = vals[:xe]
+        src = np.ascontiguousarray(np.concatenate([v, v[:3]]), np.float32)
+        ptrs = np.array([src.ctypes.data] * 3, np.uint64)
+        bx = np.empty((3, xe), ml_dtypes.bfloat16)
+        by = np.empty((3, 3), ml_dtypes.bfloat16)
+        assert assemble_windows(ptrs, bx, by)
+        for j in range(3):
+            np.testing.assert_array_equal(bx[j].view(np.uint16), ref[:xe])
+            np.testing.assert_array_equal(
+                by[j].view(np.uint16), ref[:3]
+            )
