@@ -119,10 +119,12 @@ def build_everything(cfg: TrainConfig, mesh=None, init_params=None):
     )
     test_dss = [
         MixedTemporalDataset(
-            [p], res=cfg.res, n_channels=train_ds.n_channels, t_in=cfg.T_in,
+            [p],
+            [cfg.ntest_list[i]] if cfg.ntest_list else None,
+            res=cfg.res, n_channels=train_ds.n_channels, t_in=cfg.T_in,
             t_ar=-1, train=False,
         )
-        for p in cfg.test_paths
+        for i, p in enumerate(cfg.test_paths)
     ]
     # multi-host: every process walks the same global batch order but
     # loads only its 1/process_count slice (reference analogue:
@@ -563,6 +565,21 @@ def train(
                 )
                 s_sum += _fetch(out["loss_step"])
                 f_sum += _fetch(out["loss_full"])
+                if (
+                    cfg.viz_dir
+                    and ep == cfg.epochs - 1
+                    and n_seen == 0
+                    and jax.process_index() == 0
+                ):
+                    # final-epoch snapshot per test set (cli/evaluate's
+                    # --viz_dir surface, available from training too)
+                    from dpot_tpu.utils.viz import save_eval_viz
+
+                    save_eval_viz(
+                        np.asarray(out["pred"][0] * msk[0]),
+                        np.asarray(y[0] * msk[0]),
+                        cfg.viz_dir, cfg.test_paths[di],
+                    )
                 n_seen += x.shape[0] * jax.process_count()
             if n_seen == 0:
                 # the sharded loader skipped every batch (test set smaller

@@ -37,6 +37,9 @@ class TrainConfig:
     )
     test_paths: List[str] = dataclasses.field(default_factory=list)
     ntrain_list: Optional[List[int]] = None
+    # per-test-set sample caps (reference configs' ntest_list,
+    # dpot_evaluate.yaml:41); None = each spec's full test_size
+    ntest_list: Optional[List[int]] = None
     data_weights: List[int] = dataclasses.field(default_factory=lambda: [1])
     res: int = 128
     T_in: int = 10
