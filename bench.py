@@ -316,9 +316,20 @@ LADDER = {
     "infer_b8": lambda: bench_inference("M", 8),
     "infer_scan_b1": lambda: bench_inference_scan("M", 1),
     "infer_scan_b8": lambda: bench_inference_scan("M", 8),
-    # full HTTP serving stack latency with p50/p99 (VERDICT r4 item 7)
+    # full HTTP serving stack latency with p50/p99 (VERDICT r4 item 7).
+    # Default wire is auto -> bf16 request tensors for this bf16 model
+    # (bit-identical predictions, half the H2D bytes; r5 lever, measured
+    # p50 -36% at steps=1); the _f32wire twins keep the A/B reproducible.
     "serve_b1": lambda: bench_serve(batch=1, steps=1),
     "serve_b1_s20": lambda: bench_serve(batch=1, steps=20, n_req=30),
+    "serve_b1_f32wire": lambda: (
+        os.environ.update({"DPOT_BENCH_SERVE_WIRE": "float32"})
+        or bench_serve(batch=1, steps=1)
+    ),
+    "serve_b1_s20_f32wire": lambda: (
+        os.environ.update({"DPOT_BENCH_SERVE_WIRE": "float32"})
+        or bench_serve(batch=1, steps=20, n_req=30)
+    ),
     # host-side: on-disk HDF5 ingest rate vs the chip's consumption
     # (SURVEY §7 hard part (d); no TPU involved)
     "ingest": lambda: bench_ingest(),
@@ -429,8 +440,10 @@ def bench_serve(batch: int = 1, steps: int = 1, n_req: int = 60) -> dict:
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((batch, 128, 128, 10, 4)), jnp.float32)
     params = model.init(jax.random.key(0), x0)
+    wire = os.environ.get("DPOT_BENCH_SERVE_WIRE", "auto")
     httpd, rs = serve(
         model, params, port=0, batch_buckets=(batch,), max_wait_ms=0.0,
+        wire_dtype=wire,
     )
     try:
         port = httpd.server_address[1]
@@ -460,7 +473,9 @@ def bench_serve(batch: int = 1, steps: int = 1, n_req: int = 60) -> dict:
     return {
         "metric": (
             f"DPOT-M serve HTTP rollout latency p50 "
-            f"(B={batch}, steps={steps}, 128^2, bf16)"
+            f"(B={batch}, steps={steps}, 128^2, bf16"
+            + (f", wire={rs.wire_dtype.name}" if wire != "float32" else ", wire=float32")
+            + ")"
         ),
         "value": round(p50, 3),
         "unit": "ms/request",

@@ -86,6 +86,10 @@ def main(argv=None, wait=True):
     max_steps = take("--max_steps", 64, int)
     ssl_certfile = take("--ssl_certfile", None)
     ssl_keyfile = take("--ssl_keyfile", None)
+    # H2D wire format for request tensors (serve/server.py wire_dtype):
+    # auto = bf16 when the model computes bf16 (bit-identical, half the
+    # host->device bytes), float32/bfloat16 to force
+    wire_dtype = take("--wire_dtype", "auto")
     models_yaml = take("--models", None)
 
     if models_yaml:
@@ -119,7 +123,8 @@ def main(argv=None, wait=True):
             cfg = TrainConfig(**entry)
             model, params = _build_served(cfg)
             servers[name] = RolloutServer(
-                model, params, t_bundle=cfg.T_bundle, max_steps=max_steps
+                model, params, t_bundle=cfg.T_bundle, max_steps=max_steps,
+                wire_dtype=wire_dtype,
             )
         httpd, router = serve_multi(
             servers, default=spec.get("default"), auth_token=auth_token,
@@ -137,6 +142,7 @@ def main(argv=None, wait=True):
         httpd, rs = serve(
             model, params, host=host, port=port, t_bundle=cfg.T_bundle,
             auth_token=auth_token, max_steps=max_steps,
+            wire_dtype=wire_dtype,
             ssl_certfile=ssl_certfile, ssl_keyfile=ssl_keyfile,
         )
         desc = f"{cfg.model} ({rs.n_params/1e6:.1f}M params)"

@@ -85,6 +85,7 @@ class RolloutServer:
         auth_token: Optional[str] = None,
         max_body_bytes: int = 256 * 2**20,
         mesh: Optional[Any] = None,
+        wire_dtype: str = "auto",
     ):
         import jax
 
@@ -102,6 +103,26 @@ class RolloutServer:
         self.max_steps = int(max_steps)
         self.auth_token = auth_token
         self.max_body_bytes = int(max_body_bytes)
+        # H2D wire format (the train loop's --wire_dtype analogue,
+        # train/loop.py:321-337): under bf16 compute the model's first op
+        # casts the input anyway, so shipping x as bf16 is BIT-IDENTICAL
+        # (pinned by tests/test_serve.py::test_bf16_wire_exact) and halves
+        # the request's host->device bytes — first-order for latency when
+        # the chip is remote or the link is shared. "auto" ties the wire
+        # to the model's compute dtype; "float32"/"bfloat16" force it.
+        import jax.numpy as jnp
+
+        if wire_dtype == "auto":
+            wire_dtype = (
+                "bfloat16"
+                if getattr(model, "dtype", None) == jnp.bfloat16
+                else "float32"
+            )
+        if wire_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"wire_dtype {wire_dtype!r} not in auto|float32|bfloat16"
+            )
+        self.wire_dtype = np.dtype(wire_dtype)
         self._rollout_cache: dict[int, Any] = {}
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._holdover: list[_Pending] = []  # worker-owned deferred items
@@ -151,7 +172,13 @@ class RolloutServer:
             def body(carry, _):
                 out = model.apply(params, carry)
                 im = out[0] if isinstance(out, tuple) else out
-                nxt = jnp.concatenate([carry[..., tb:, :], im], axis=-2)
+                # carry stays in the wire dtype (bf16 wire: the model
+                # would cast the fed-back frame to bf16 on its first op
+                # anyway, so pre-rounding it here is the identical value
+                # at half the carry bytes)
+                nxt = jnp.concatenate(
+                    [carry[..., tb:, :], im.astype(carry.dtype)], axis=-2
+                )
                 return nxt, im
 
             _, ims = jax.lax.scan(body, x, None, length=n_steps)
@@ -185,6 +212,10 @@ class RolloutServer:
     def _run_batch(self, items: list[_Pending]) -> None:
         try:
             xs = np.concatenate([it.x for it in items], axis=0)
+            if xs.dtype != self.wire_dtype:
+                # one conversion pass per device batch, BEFORE padding so
+                # the bucket-fill repeats copy half-width rows
+                xs = xs.astype(self.wire_dtype)
             b = xs.shape[0]
             roll = self._rollout_fn(items[0].steps)
             max_cap = self.batch_buckets[-1]
@@ -325,7 +356,10 @@ class RolloutServer:
                     f"steps={steps} outside [1, {self.max_steps}] "
                     "(configure max_steps to raise the cap)"
                 )
-            p = _Pending(np.asarray(x, np.float32), steps)
+            # wire conversion happens here, in the HANDLER thread, so it
+            # overlaps the worker's current device batch (the _run_batch
+            # guard covers warmup/foreign-dtype paths)
+            p = _Pending(np.asarray(x, self.wire_dtype), steps)
             self._queue.put(p)
             # liveness-checked wait: if the worker exited (a shutdown race
             # can slip a put past its final queue-empty check), fail the

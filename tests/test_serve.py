@@ -71,6 +71,44 @@ def test_healthz_and_rollout_correctness(served):
     np.testing.assert_allclose(pred, want, atol=1e-5, rtol=1e-5)
 
 
+def test_bf16_wire_exact():
+    """wire_dtype='auto' ships bf16 requests for a bf16-compute model and
+    the results are BIT-IDENTICAL to the f32 wire (the model's first op
+    casts the input to bf16 either way); an f32-compute model must keep
+    the f32 wire under auto."""
+    from dpot_tpu.serve import RolloutServer
+
+    kw = dict(img_size=16, patch_size=4, in_channels=2, in_timesteps=4,
+              out_timesteps=1, embed_dim=32, depth=1, n_blocks=4, modes=4,
+              n_cls=1)
+    m16 = build_model("DPOT", dtype=jnp.bfloat16, **kw)
+    p16 = m16.init(jax.random.key(0), jnp.zeros((1, 16, 16, 4, 2)))
+    auto = RolloutServer(m16, p16, batch_buckets=(1, 2), max_wait_ms=1.0)
+    f32 = RolloutServer(m16, p16, batch_buckets=(1, 2), max_wait_ms=1.0,
+                        wire_dtype="float32")
+    assert auto.wire_dtype == np.dtype("bfloat16")
+    assert f32.wire_dtype == np.dtype(np.float32)
+    auto.start()
+    f32.start()
+    try:
+        x = np.random.default_rng(1).standard_normal(
+            (2, 16, 16, 4, 2)
+        ).astype(np.float32)
+        a = auto.submit(x, 3)
+        b = f32.submit(x, 3)
+        assert a.dtype == np.float32
+        np.testing.assert_array_equal(a, b)
+    finally:
+        auto.stop(drain=True)
+        f32.stop(drain=True)
+
+    mf = build_model("DPOT", **kw)  # f32 compute
+    pf = mf.init(jax.random.key(0), jnp.zeros((1, 16, 16, 4, 2)))
+    assert RolloutServer(mf, pf).wire_dtype == np.dtype(np.float32)
+    with pytest.raises(ValueError):
+        RolloutServer(mf, pf, wire_dtype="float16")
+
+
 def test_microbatching_merges_concurrent_requests(served):
     model, params, rs, port = served
     rng = np.random.default_rng(1)
