@@ -330,6 +330,13 @@ LADDER = {
         os.environ.update({"DPOT_BENCH_SERVE_WIRE": "float32"})
         or bench_serve(batch=1, steps=20, n_req=30)
     ),
+    # + fp16 response wire (opt-in): halves the per-frame D2H + HTTP
+    # response bytes — first-order at steps=20 where the response is 20x
+    # the per-frame size (PROFILE_r05 serve decomposition)
+    "serve_b1_s20_f16resp": lambda: (
+        os.environ.update({"DPOT_BENCH_SERVE_RESP": "float16"})
+        or bench_serve(batch=1, steps=20, n_req=30)
+    ),
     # host-side: on-disk HDF5 ingest rate vs the chip's consumption
     # (SURVEY §7 hard part (d); no TPU involved)
     "ingest": lambda: bench_ingest(),
@@ -441,9 +448,10 @@ def bench_serve(batch: int = 1, steps: int = 1, n_req: int = 60) -> dict:
     x0 = jnp.asarray(rng.standard_normal((batch, 128, 128, 10, 4)), jnp.float32)
     params = model.init(jax.random.key(0), x0)
     wire = os.environ.get("DPOT_BENCH_SERVE_WIRE", "auto")
+    resp = os.environ.get("DPOT_BENCH_SERVE_RESP", "float32")
     httpd, rs = serve(
         model, params, port=0, batch_buckets=(batch,), max_wait_ms=0.0,
-        wire_dtype=wire,
+        wire_dtype=wire, response_dtype=resp,
     )
     try:
         port = httpd.server_address[1]
@@ -475,6 +483,7 @@ def bench_serve(batch: int = 1, steps: int = 1, n_req: int = 60) -> dict:
             f"DPOT-M serve HTTP rollout latency p50 "
             f"(B={batch}, steps={steps}, 128^2, bf16"
             + (f", wire={rs.wire_dtype.name}" if wire != "float32" else ", wire=float32")
+            + (f", resp={resp}" if resp != "float32" else "")
             + ")"
         ),
         "value": round(p50, 3),

@@ -90,6 +90,9 @@ def main(argv=None, wait=True):
     # auto = bf16 when the model computes bf16 (bit-identical, half the
     # host->device bytes), float32/bfloat16 to force
     wire_dtype = take("--wire_dtype", "auto")
+    # response wire: float16 halves D2H + HTTP response bytes (opt-in;
+    # default keeps the float32 response contract)
+    response_dtype = take("--response_dtype", "float32")
     models_yaml = take("--models", None)
 
     if models_yaml:
@@ -124,7 +127,7 @@ def main(argv=None, wait=True):
             model, params = _build_served(cfg)
             servers[name] = RolloutServer(
                 model, params, t_bundle=cfg.T_bundle, max_steps=max_steps,
-                wire_dtype=wire_dtype,
+                wire_dtype=wire_dtype, response_dtype=response_dtype,
             )
         httpd, router = serve_multi(
             servers, default=spec.get("default"), auth_token=auth_token,
@@ -142,7 +145,7 @@ def main(argv=None, wait=True):
         httpd, rs = serve(
             model, params, host=host, port=port, t_bundle=cfg.T_bundle,
             auth_token=auth_token, max_steps=max_steps,
-            wire_dtype=wire_dtype,
+            wire_dtype=wire_dtype, response_dtype=response_dtype,
             ssl_certfile=ssl_certfile, ssl_keyfile=ssl_keyfile,
         )
         desc = f"{cfg.model} ({rs.n_params/1e6:.1f}M params)"

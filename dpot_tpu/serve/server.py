@@ -19,7 +19,13 @@ Endpoints:
   GET  /healthz            -> JSON {ok, model, params_m, buckets} (no auth)
   GET  /metrics            -> JSON request/latency/batching counters
   POST /rollout?steps=N    -> body: .npy array (B, H, W, T_in, C) float32
+                              (or an ml_dtypes-bfloat16 .npy — half the
+                              request bytes; numpy parses its descr as
+                              void-V2 and the handler reinterprets)
                               response: .npy array (B, H, W, N*t_bundle, C)
+                              float32 by default; float16 when the server
+                              was started with response_dtype=float16
+                              (half the D2H + HTTP bytes, std numpy .npy)
                               — steps counts MODEL APPLICATIONS; each one
                               emits t_bundle frames (t_bundle=1 default,
                               so usually N frames)
@@ -86,6 +92,7 @@ class RolloutServer:
         max_body_bytes: int = 256 * 2**20,
         mesh: Optional[Any] = None,
         wire_dtype: str = "auto",
+        response_dtype: str = "float32",
     ):
         import jax
 
@@ -123,6 +130,19 @@ class RolloutServer:
                 f"wire_dtype {wire_dtype!r} not in auto|float32|bfloat16"
             )
         self.wire_dtype = np.dtype(wire_dtype)
+        # D2H/response wire format. float16 casts the prediction ON DEVICE
+        # before the fetch — half the device->host bytes AND half the HTTP
+        # response body (.npy float16 is standard numpy, no client dep).
+        # fp16's 10-bit mantissa exceeds bf16's 7, so for a bf16-compute
+        # model the added rounding is below the model's own compute noise;
+        # range is ±65504 (fields are normalized — overflow would mean the
+        # rollout already diverged). Opt-in: the default keeps the
+        # documented float32 response contract.
+        if response_dtype not in ("float32", "float16"):
+            raise ValueError(
+                f"response_dtype {response_dtype!r} not in float32|float16"
+            )
+        self.response_dtype = np.dtype(response_dtype)
         self._rollout_cache: dict[int, Any] = {}
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._holdover: list[_Pending] = []  # worker-owned deferred items
@@ -186,7 +206,9 @@ class RolloutServer:
             pred = jnp.moveaxis(ims, 0, -3).reshape(
                 *x.shape[:-2], n_steps * tb, x.shape[-1]
             )
-            return pred
+            # response wire cast happens ON DEVICE so the fetch ships the
+            # narrow dtype (float16 = half the D2H bytes per frame)
+            return pred.astype(jnp.dtype(self.response_dtype))
 
         self._rollout_cache[n_steps] = roll
         return roll
@@ -391,6 +413,8 @@ class RolloutServer:
             "params_m": round(self.n_params / 1e6, 2),
             "buckets": list(self.batch_buckets),
             "compiled_steps": sorted(self._rollout_cache),
+            "wire_dtype": self.wire_dtype.name,
+            "response_dtype": self.response_dtype.name,
         }
 
     def metrics(self) -> dict:
@@ -542,6 +566,14 @@ def _make_handler(server: "RolloutServer | ModelRouter"):
                     )
                     return
                 x = np.load(io.BytesIO(self.rfile.read(n)))
+                if x.dtype.kind == "V" and x.dtype.itemsize == 2:
+                    # client shipped a bfloat16 .npy (half the request
+                    # bytes): numpy parses the ml_dtypes descr as void-V2
+                    # — reinterpret. No other 2-byte void tensor is a
+                    # legitimate request, so this is unambiguous.
+                    import ml_dtypes
+
+                    x = x.view(ml_dtypes.bfloat16)
                 pred = target.submit(x, steps)
                 body = _npy_bytes(pred)
                 self.send_response(200)

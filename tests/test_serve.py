@@ -109,6 +109,60 @@ def test_bf16_wire_exact():
         RolloutServer(mf, pf, wire_dtype="float16")
 
 
+def test_bf16_request_body_http(served):
+    """A client may POST an ml_dtypes-bfloat16 .npy (half the request
+    bytes); numpy parses its descr as void-V2 and the handler reinterprets.
+    The result must equal posting the same values as float32."""
+    import ml_dtypes
+
+    model, params, rs, port = served
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 16, 16, 4, 2)).astype(np.float32)
+    xb = x.astype(ml_dtypes.bfloat16)
+    # steps=3 is already compiled by the correctness test — this must
+    # not add cache entries (test_steps_validation counts them)
+    a = _post_rollout(port, xb, 3)
+    b = _post_rollout(port, xb.astype(np.float32), 3)
+    assert a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)
+
+
+def test_f16_response_wire():
+    """response_dtype='float16' ships fp16 predictions whose values are
+    the fp16 rounding of the default f32 response (cast happens on device,
+    after the full-precision rollout — the carry itself is untouched, so
+    the trajectory is identical); the default stays float32."""
+    from dpot_tpu.serve import RolloutServer
+
+    kw = dict(img_size=16, patch_size=4, in_channels=2, in_timesteps=4,
+              out_timesteps=1, embed_dim=32, depth=1, n_blocks=4, modes=4,
+              n_cls=1)
+    m = build_model("DPOT", dtype=jnp.bfloat16, **kw)
+    p = m.init(jax.random.key(0), jnp.zeros((1, 16, 16, 4, 2)))
+    f32 = RolloutServer(m, p, batch_buckets=(1, 2), max_wait_ms=1.0)
+    f16 = RolloutServer(m, p, batch_buckets=(1, 2), max_wait_ms=1.0,
+                        response_dtype="float16")
+    assert f32.response_dtype == np.dtype(np.float32)
+    assert f16.response_dtype == np.dtype(np.float16)
+    assert f16.health()["response_dtype"] == "float16"
+    f32.start()
+    f16.start()
+    try:
+        x = np.random.default_rng(2).standard_normal(
+            (2, 16, 16, 4, 2)
+        ).astype(np.float32)
+        a = f32.submit(x, 3)
+        b = f16.submit(x, 3)
+        assert a.dtype == np.float32 and b.dtype == np.float16
+        np.testing.assert_array_equal(a.astype(np.float16), b)
+    finally:
+        f32.stop(drain=True)
+        f16.stop(drain=True)
+
+    with pytest.raises(ValueError):
+        RolloutServer(m, p, response_dtype="bfloat16")
+
+
 def test_microbatching_merges_concurrent_requests(served):
     model, params, rs, port = served
     rng = np.random.default_rng(1)
