@@ -23,6 +23,10 @@ Knobs:
   DPOT_BENCH_PDTYPE=bfloat16     bf16 working copy of params (f32 master)
   DPOT_BENCH_ACCUM=N             gradient accumulation over N microbatches
   DPOT_BENCH_SCAN=K              fuse K train steps per dispatch (lax.scan)
+  DPOT_BENCH_NO_PROBE=1          skip the tunnel-liveness probe (a tiny
+      matmul in a subprocess, default timeout 240s via
+      DPOT_BENCH_PROBE_TIMEOUT) that otherwise runs first so a wedged
+      tunnel yields a fail-fast JSON line + rc=3 instead of a hang
 
 vs_baseline compares against a DERIVED A100 PyTorch step-rate estimate for
 the same config (the reference publishes no numbers). Derivation in
@@ -647,6 +651,38 @@ def bench_ingest(n_files: int = 128, res: int = 128, batch: int = 8,
     }
 
 
+def _probe_tunnel() -> bool:
+    """Fail-fast liveness check of the TPU tunnel before benching.
+
+    The tunnel has a known outage mode (seen rounds 3 and 5, can last >7h)
+    in which even a 4x4 matmul hangs forever; a bench started then would
+    hang the driver instead of recording an honest failure. Runs a tiny
+    matmul + host fetch in a subprocess under a timeout. Skipped (returns
+    True) when DPOT_BENCH_NO_PROBE is set or when forced onto CPU.
+    """
+    if os.environ.get("DPOT_BENCH_NO_PROBE"):
+        return True
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        # rank-0 device->host transfers are unimplemented on this plugin;
+        # fetch via a (1,1) reshape (CLAUDE.md environment gotchas)
+        "x = jnp.ones((4, 4), jnp.float32)\n"
+        "v = np.asarray((x @ x).sum().reshape(1, 1))[0, 0]\n"
+        "assert v == 64.0, v\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("DPOT_BENCH_PROBE_TIMEOUT", "240")),
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -654,6 +690,17 @@ def main() -> None:
     if entry:
         print(json.dumps(LADDER[entry]()), flush=True)
         return
+
+    if not _probe_tunnel():
+        print(
+            json.dumps({
+                "metric": "TPU tunnel DOWN (tiny-matmul probe timed out; "
+                          "known outage mode — no measurement possible)",
+                "value": None, "unit": "", "vs_baseline": None,
+            }),
+            flush=True,
+        )
+        sys.exit(3)
 
     if os.environ.get("DPOT_BENCH_LADDER"):
         import subprocess
