@@ -53,7 +53,7 @@ def _load_ref(rel):
     return mod
 
 
-def _batches(n, B=4, seed=0, rand_cls=False, shared_noise=False):
+def _batches(n, B=4, seed=0, rand_cls=False, shared_noise=False, res=32):
     """Fixed batch sequence: smooth random trajectories, x=first 6 frames,
     y=next 2 (T_ar=2 exercises the rollout feed-back path).
 
@@ -71,16 +71,18 @@ def _batches(n, B=4, seed=0, rand_cls=False, shared_noise=False):
         # is a good predictor, so 50 steps of training visibly move the
         # loss (a pure-noise target would leave both curves flat at the
         # trivial minimum and the comparison toothless)
-        base = rng.standard_normal((B, 8, 8, 1, 2)).astype(np.float32)
+        base = rng.standard_normal((B, res // 4, res // 4, 1, 2)).astype(
+            np.float32
+        )
         traj = np.repeat(np.repeat(np.repeat(base, 4, axis=1), 4, axis=2),
-                         8, axis=3)  # smooth 32^2, constant in time
+                         8, axis=3)  # smooth res^2, constant in time
         traj += 0.05 * rng.standard_normal(
-            (B, 32, 32, 8, 2)
+            (B, res, res, 8, 2)
         ).astype(np.float32)
         b = {
             "x": traj[..., :6, :],
             "y": traj[..., 6:8, :],
-            "msk": np.ones((B, 32, 32, 1, 2), np.float32),
+            "msk": np.ones((B, res, res, 1, 2), np.float32),
             "cls": (
                 rng.integers(0, MODEL_KW["n_cls"], size=(B,))
                 if rand_cls else np.zeros((B,))
@@ -88,7 +90,7 @@ def _batches(n, B=4, seed=0, rand_cls=False, shared_noise=False):
         }
         if shared_noise:
             b["noise"] = rng.standard_normal(
-                (2, B, 32, 32, 6, 2)
+                (2, B, res, res, 6, 2)
             ).astype(np.float32)  # one draw per AR step (T_ar=2)
         out.append(b)
     return out
@@ -245,6 +247,25 @@ def test_training_dynamics_normalize_adain():
     sd0, ref_losses, _ = _run_reference("adam", batches, model_kw=kw)
     our_losses, _ = _run_ours("adam", sd0, batches, model_kw=kw)
     _compare("adam+normalize", ref_losses, our_losses, 1e-4)
+
+
+@pytest.mark.slow
+def test_training_dynamics_larger_scale():
+    """The same 50-step lamb trajectory at reference trunk geometry: the
+    pretrain presets all run a 16^2 latent (res 128 / patch 8,
+    configs/pretrain_*.yaml); this test hits that latent via 64^2/patch 4
+    with embed 64, depth 4, 8 AFNO blocks, modes 16, mlp_ratio 2 — ~10x
+    the parameter count of the default config above, so block-count/
+    depth/mode-truncation arithmetic is pinned at scale, not just at the
+    toy shape."""
+    kw = dict(
+        MODEL_KW, img_size=64, embed_dim=64, depth=4, n_blocks=8,
+        modes=16, mlp_ratio=2.0, out_layer_dim=32,
+    )
+    batches = _batches(N_STEPS, res=64)
+    sd0, ref_losses, _ = _run_reference("lamb", batches, model_kw=kw)
+    our_losses, _ = _run_ours("lamb", sd0, batches, model_kw=kw)
+    _compare("lamb+larger", ref_losses, our_losses, 1e-4)
 
 
 def test_training_dynamics_cls_bookkeeping():
